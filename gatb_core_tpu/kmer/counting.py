@@ -1,0 +1,260 @@
+"""SortingCount: the DSK-equivalent k-mer counting pipeline, TPU-native.
+
+Reference: gatb-core SortingCountAlgorithm (kmer/impl/SortingCountAlgorithm.cpp)
+— there, reads are split into superkmers spilled to per-partition files, then
+each partition is radix-binned, std::sorted and 453-way-merged
+(PartitionsCommand.cpp). Here the same computation is expressed TPU-first:
+
+  host input pipeline:  bank -> padded (B, L) code/validity batches
+  device (jit):         rolling canonical kmer + minimizer extraction
+                        (ops/kmer_ops.py), bitonic sort by limb keys,
+                        run-detection segment-reduce (ops/sortops.py)
+  host merge:           per-batch distinct tables concatenated, one final
+                        device sort+reduce pass (partition-invariant, so the
+                        result is byte-identical to the reference's
+                        concatenated-then-sorted solid table)
+
+Multi-chip: see parallel/exchange.py — reads are sharded over the mesh data
+axis and kmers are exchanged via all-to-all on their minimizer partition, the
+TPU equivalent of the reference's minimizer repartition spill (see SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bank.fasta import IBank, open_bank
+from ..ops.bitpack import ascii_to_codes_np
+from ..ops.kmer_ops import extract_kmers, nb_limbs, py_to_limbs, kmers_to_py
+from ..ops.sortops import CountTable, count_batch, sort_by_kmer, count_sorted
+from .histogram import Histogram
+
+MAX_INT32 = 2**31 - 1
+
+
+@dataclass
+class CountConfig:
+    """Counting parameters (defaults match gatb-core CLI defaults,
+    SortingCountAlgorithm.cpp:202-235)."""
+
+    kmer_size: int = 31
+    minimizer_size: int = 10
+    abundance_min: int | str = 2        # int or "auto"
+    abundance_max: int = MAX_INT32
+    abundance_min_threshold: int = 2    # floor used when abundance_min="auto"
+    histo_max: int = 10000
+    solidity_kind: str = "sum"
+    # device batching
+    batch_reads: int = 1024
+    batch_len: int = 256
+
+    @property
+    def auto_cutoff(self) -> bool:
+        return self.abundance_min == "auto"
+
+
+@dataclass
+class CountResult:
+    """Output of SortingCount: the solid count table + stats.
+
+    solid_kmers: (N, W) uint32 limb array, ascending integer order
+    solid_counts: (N,) int32 abundances
+    histogram: full abundance histogram over *distinct* kmers
+    info: reference-style properties (kmers_nb_valid, kmers_nb_solid, ...)
+    """
+
+    solid_kmers: np.ndarray
+    solid_counts: np.ndarray
+    histogram: Histogram
+    info: dict
+    config: CountConfig
+
+    @property
+    def nb_solid(self) -> int:
+        return len(self.solid_counts)
+
+    def as_dict(self) -> dict[int, int]:
+        """Python-int view {kmer_value: count} (small tables / tests only)."""
+        return dict(zip(kmers_to_py(self.solid_kmers),
+                        self.solid_counts.tolist()))
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class _BatchBuilder:
+    """Packs variable-length reads into fixed-shape (B, L) device batches.
+
+    Reads longer than the length budget are split into overlapping pieces
+    with k-1 overlap (window-exact: the set of kmer windows is preserved,
+    like the reference's streaming superkmer split over arbitrary-length
+    sequences, Sequence2SuperKmer.hpp:139-155).
+    """
+
+    def __init__(self, k: int, batch_reads: int, batch_len: int):
+        self.k = k
+        self.B = batch_reads
+        self.L = max(batch_len, 2 * k)
+        self.reset()
+
+    def reset(self):
+        self.codes = np.zeros((self.B, self.L), np.uint8)
+        self.valid = np.zeros((self.B, self.L), bool)
+        self.lengths = np.zeros(self.B, np.int32)
+        self.row = 0
+
+    def add(self, data: str):
+        buf = np.frombuffer(data.encode("ascii"), dtype=np.uint8)
+        k, L = self.k, self.L
+        pos = 0
+        n = len(buf)
+        while pos == 0 or pos + k - 1 < n:
+            piece = buf[pos:pos + L]
+            codes, valid = ascii_to_codes_np(piece)
+            m = len(piece)
+            self.codes[self.row, :m] = codes
+            self.valid[self.row, :m] = valid
+            self.lengths[self.row] = m
+            self.row += 1
+            if self.row == self.B:
+                yield self.flush()
+            if pos + L >= n:
+                break
+            pos += L - (k - 1)
+
+    def flush(self):
+        out = (self.codes, self.valid, self.lengths, self.row)
+        self.reset()
+        return out
+
+
+class SortingCount:
+    """Driver for the counting pipeline (SortingCountAlgorithm equivalent)."""
+
+    def __init__(self, config: CountConfig | None = None):
+        self.config = config or CountConfig()
+
+    def execute(self, bank) -> CountResult:
+        cfg = self.config
+        bank = open_bank(bank)
+        k = cfg.kmer_size
+        w = nb_limbs(k)
+        t0 = time.time()
+
+        builder = _BatchBuilder(k, cfg.batch_reads, cfg.batch_len)
+        partial_kmers: list[np.ndarray] = []
+        partial_counts: list[np.ndarray] = []
+        nb_seq = 0
+        seq_total_size = 0
+        kmers_nb_valid = 0
+        kmers_nb_invalid = 0
+
+        def process(codes, valid, lengths, rows):
+            nonlocal kmers_nb_valid, kmers_nb_invalid
+            kb = extract_kmers(jnp.asarray(codes), jnp.asarray(valid),
+                               jnp.asarray(lengths), k, cfg.minimizer_size)
+            table = count_batch(kb.kmers, kb.valid)
+            nvalid = int(jnp.sum(kb.valid))
+            inside = int(jnp.sum(jnp.maximum(
+                jnp.asarray(lengths) - (k - 1), 0)))
+            kmers_nb_valid += nvalid
+            kmers_nb_invalid += inside - nvalid
+            n = int(table.n)
+            partial_kmers.append(np.asarray(table.kmers[:n]))
+            partial_counts.append(np.asarray(table.counts[:n]))
+
+        for seq in bank:
+            nb_seq += 1
+            seq_total_size += len(seq)
+            for batch in builder.add(seq.data):
+                process(*batch)
+        if builder.row:
+            process(*builder.flush())
+        t_fill = time.time() - t0
+
+        # ---- global merge: one sorted reduce over all partial tables -----
+        t1 = time.time()
+        if partial_kmers:
+            all_k = np.concatenate(partial_kmers, axis=0)
+            all_c = np.concatenate(partial_counts, axis=0)
+        else:
+            all_k = np.zeros((0, w), np.uint32)
+            all_c = np.zeros((0,), np.int32)
+        uniq, counts = _global_merge(all_k, all_c, w)
+        t_merge = time.time() - t1
+
+        # Note: overlap-split pieces can double-count boundary kmers only if
+        # a kmer window appears in two pieces; the k-1 overlap yields each
+        # window exactly once, so plain summation is exact.
+
+        histogram = Histogram(cfg.histo_max)
+        if len(counts):
+            histogram.add_counts(counts)
+
+        # ---- solidity ----------------------------------------------------
+        if cfg.auto_cutoff:
+            cutoff = histogram.compute_threshold(cfg.abundance_min_threshold)
+            amin = cutoff
+        else:
+            amin = int(cfg.abundance_min)
+            histogram.cutoff = amin
+        amax = cfg.abundance_max
+        solid_mask = (counts >= amin) & (counts <= amax)
+        solid_kmers = uniq[solid_mask]
+        solid_counts = counts[solid_mask]
+        histogram.nb_solids_after_cutoff = int(solid_mask.sum())
+
+        info = {
+            "kmers_nb_distinct": int(len(counts)),
+            "kmers_nb_solid": int(len(solid_counts)),
+            "kmers_nb_weak": int(len(counts) - len(solid_counts)),
+            "kmers_nb_valid": int(kmers_nb_valid),
+            "kmers_nb_invalid": int(kmers_nb_invalid),
+            "sequences_number": int(nb_seq),
+            "sequences_size": int(seq_total_size),
+            "kmer_size": k,
+            "abundance_min": amin,
+            "abundance_max": amax,
+            "time_fill": t_fill,
+            "time_merge": t_merge,
+        }
+        return CountResult(solid_kmers, solid_counts, histogram, info,
+                           cfg)
+
+
+def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):
+    """Device sort+reduce of concatenated partial tables -> final table."""
+    n = len(kmers)
+    if n == 0:
+        return kmers, counts
+    cap = _next_pow2(max(n, 8))
+    pk = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+    pc = np.zeros((cap,), np.int32)
+    pk[:n] = kmers
+    pc[:n] = counts
+    inv = np.ones((cap,), bool)
+    inv[:n] = False
+    table = _merge_jit(jnp.asarray(pk), jnp.asarray(pc), jnp.asarray(inv))
+    m = int(table.n)
+    return np.asarray(table.kmers[:m]), np.asarray(table.counts[:m])
+
+
+@jax.jit
+def _merge_jit(kmers, counts, inv) -> CountTable:
+    sk, si, sc = sort_by_kmer(kmers, inv, counts)
+    return count_sorted(sk, si, weights=sc)
+
+
+def count_kmers(bank, **kwargs) -> CountResult:
+    """Convenience API: count kmers of a bank (URI, IBank, or list)."""
+    return SortingCount(CountConfig(**kwargs)).execute(bank)

@@ -1,0 +1,132 @@
+"""Sort / unique / segment-reduce primitives over limb-array k-mer keys.
+
+These replace gatb-core's radix-array + 453-way-merge counting kernel
+(kmer/impl/PartitionsCommand.cpp:1206-1800) with the TPU-native recipe:
+multi-key bitonic sort (XLA `lax.sort` with num_keys = 1 flag + W limbs)
+followed by run detection + segment-sum. All shapes are static; invalid
+slots are pushed to the tail by a leading validity key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+class CountTable(NamedTuple):
+    """Fixed-capacity sorted table of distinct k-mers with counts.
+
+    kmers:  (C, W) uint32 limbs, ascending integer order; rows >= n are padding
+    counts: (C,) int32 abundances (0 on padding rows)
+    n:      () int32 number of live rows
+    """
+
+    kmers: jnp.ndarray
+    counts: jnp.ndarray
+    n: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.kmers.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.kmers.shape[1]
+
+
+def sort_by_kmer(kmers: jnp.ndarray, invalid: jnp.ndarray, *payloads):
+    """Sort rows by (invalid, kmer) ascending; invalid rows go to the tail.
+
+    kmers: (N, W); invalid: (N,) bool; payloads: extra (N,)/(N,...) arrays
+    reordered alongside. Returns (kmers, invalid, *payloads) sorted.
+    """
+    n, w = kmers.shape
+    keys = [invalid.astype(U32)] + [kmers[:, j] for j in range(w)]
+    flat_payloads = []
+    for p in payloads:
+        if p.ndim == 1:
+            flat_payloads.append(p)
+        else:
+            raise ValueError("payloads must be rank-1")
+    out = jax.lax.sort(tuple(keys) + tuple(flat_payloads), num_keys=w + 1)
+    inv = out[0].astype(bool)
+    sorted_kmers = jnp.stack(out[1:w + 1], axis=-1)
+    return (sorted_kmers, inv) + tuple(out[w + 1:])
+
+
+def _run_starts(sorted_kmers: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Boolean mask of first element of each distinct-valid-kmer run."""
+    neq_prev = jnp.any(sorted_kmers[1:] != sorted_kmers[:-1], axis=-1)
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq_prev])
+    return starts & ~inv
+
+
+def count_sorted(sorted_kmers: jnp.ndarray, inv: jnp.ndarray,
+                 weights: jnp.ndarray | None = None) -> CountTable:
+    """Reduce a sorted (kmer, invalid) stream into a CountTable.
+
+    weights defaults to 1 per valid row (raw occurrence counting); pass
+    existing counts when merging tables.
+    """
+    cap, w = sorted_kmers.shape
+    starts = _run_starts(sorted_kmers, inv)
+    if weights is None:
+        weights = jnp.ones((cap,), I32)
+    weights = jnp.where(inv, 0, weights.astype(I32))
+    run_id = jnp.cumsum(starts.astype(I32)) - 1  # id of each row's run
+    seg_id = jnp.where(inv, cap - 1, run_id).astype(I32)
+    counts = jax.ops.segment_sum(weights, seg_id, num_segments=cap)
+    n = jnp.sum(starts).astype(I32)
+    # Compact: scatter run-start rows to their run_id position; non-start
+    # rows are sent out of bounds and dropped.
+    dest = jnp.where(starts, run_id, cap).astype(I32)
+    uniq = jnp.full_like(sorted_kmers, U32(0xFFFFFFFF))
+    uniq = uniq.at[dest].set(sorted_kmers, mode="drop")
+    # counts for padding rows must be 0: mask beyond n
+    idx = jax.lax.broadcasted_iota(I32, (cap,), 0)
+    counts = jnp.where(idx < n, counts, 0)
+    return CountTable(uniq, counts, n)
+
+
+@functools.partial(jax.jit)
+def count_batch(kmers: jnp.ndarray, valid: jnp.ndarray) -> CountTable:
+    """Flatten, sort, and reduce one extracted batch into a CountTable."""
+    flat = kmers.reshape(-1, kmers.shape[-1])
+    inv = ~valid.reshape(-1)
+    sk, si = sort_by_kmer(flat, inv)
+    return count_sorted(sk, si)
+
+
+@functools.partial(jax.jit)
+def merge_tables(a: CountTable, b: CountTable) -> CountTable:
+    """Merge two sorted count tables (capacity = cap_a + cap_b)."""
+    kmers = jnp.concatenate([a.kmers, b.kmers], axis=0)
+    counts = jnp.concatenate([a.counts, b.counts], axis=0)
+    cap = kmers.shape[0]
+    idx = jax.lax.broadcasted_iota(I32, (cap,), 0)
+    live = jnp.concatenate([jnp.arange(a.capacity) < a.n,
+                            jnp.arange(b.capacity) < b.n])
+    inv = ~live
+    sk, si, sc = sort_by_kmer(kmers, inv, counts)
+    return count_sorted(sk, si, weights=sc)
+
+
+def shrink(table: CountTable, capacity: int) -> CountTable:
+    """Host-side: shrink/grow a table to the given capacity (>= n)."""
+    import numpy as np
+
+    n = int(table.n)
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < live rows {n}")
+    w = table.width
+    kmers = np.full((capacity, w), 0xFFFFFFFF, dtype=np.uint32)
+    counts = np.zeros((capacity,), dtype=np.int32)
+    kmers[:n] = np.asarray(table.kmers)[:n]
+    counts[:n] = np.asarray(table.counts)[:n]
+    return CountTable(jnp.asarray(kmers), jnp.asarray(counts), jnp.asarray(n, I32))

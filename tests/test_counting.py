@@ -1,0 +1,110 @@
+"""Counting pipeline tests vs the dict-based Python reference counter.
+
+Mirrors the reference TestDSK suite (test/unit/src/kmer/TestDSK.cpp):
+exact distinct/solid counts on literal sequences, abundance filters, and the
+bundled reads1.fa fixture.
+"""
+
+import numpy as np
+import pytest
+
+from gatb_core_tpu.bank.fasta import BankStrings, BankFasta, open_bank
+from gatb_core_tpu.kmer.counting import CountConfig, SortingCount, count_kmers
+from gatb_core_tpu.kmer.model import count_kmers_py
+
+
+def random_seqs(rng, n, lo, hi, with_n=False):
+    out = []
+    for i in range(n):
+        s = "".join(rng.choice(list("ACGT"), size=int(rng.integers(lo, hi))))
+        if with_n and i % 4 == 1:
+            p = int(rng.integers(0, len(s)))
+            s = s[:p] + "N" + s[p + 1:]
+        out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("k,amin", [(11, 1), (21, 1), (31, 1), (31, 2)])
+def test_count_random_vs_python(k, amin):
+    rng = np.random.default_rng(k * 100 + amin)
+    seqs = random_seqs(rng, 30, k + 3, 4 * k + 60, with_n=True)
+    seqs += seqs[:7]  # force some duplicates
+    res = count_kmers(BankStrings(*seqs), kmer_size=k, abundance_min=amin,
+                      batch_reads=16, batch_len=max(64, 2 * k))
+    exp = count_kmers_py(seqs, k, abundance_min=amin)
+    assert res.as_dict() == exp
+    # table must be sorted ascending
+    if res.nb_solid > 1:
+        from gatb_core_tpu.ops.kmer_ops import kmers_to_py
+        vals = kmers_to_py(res.solid_kmers)
+        assert vals == sorted(vals)
+
+
+def test_long_read_split_is_exact():
+    """Reads longer than the batch length are split with k-1 overlap;
+    every window must be counted exactly once."""
+    rng = np.random.default_rng(7)
+    k = 31
+    long_read = "".join(rng.choice(list("ACGT"), size=5000))
+    res = count_kmers(BankStrings(long_read), kmer_size=k, abundance_min=1,
+                      batch_reads=4, batch_len=128)
+    exp = count_kmers_py([long_read], k, abundance_min=1)
+    assert res.as_dict() == exp
+
+
+def test_dsk_check1_style():
+    """Analogue of DSK_check1_aux (TestDSK.cpp:123-160): a literal sequence
+    counted at several k / abundance thresholds with exact expectations."""
+    seq = ("CATTGATAGTGGATGGT" * 6)[:100]
+    for k in (13, 26, 27):
+        for nks in (1, 2):
+            res = count_kmers(BankStrings(seq), kmer_size=k,
+                              abundance_min=nks, batch_reads=4, batch_len=128)
+            exp = count_kmers_py([seq], k, abundance_min=nks)
+            assert res.as_dict() == exp, (k, nks)
+            assert res.info["kmers_nb_solid"] == len(exp)
+
+
+def test_invalid_only_sequences():
+    res = count_kmers(BankStrings("NNNNNNNNNNNNNNNN", "ACGT"), kmer_size=11,
+                      abundance_min=1, batch_reads=4, batch_len=64)
+    assert res.nb_solid == 0
+    assert res.info["kmers_nb_valid"] == 0
+    assert res.info["kmers_nb_invalid"] == 6
+
+
+def test_reads1_fixture(test_db):
+    """Count k=31 on the bundled reads1.fa and compare exactly with the
+    Python reference counter (100 reads)."""
+    bank = BankFasta(f"{test_db}/reads1.fa")
+    seqs = [s.data for s in bank]
+    assert len(seqs) == 100
+    res = count_kmers(bank, kmer_size=31, abundance_min=1)
+    exp = count_kmers_py(seqs, 31, abundance_min=1)
+    assert res.info["kmers_nb_distinct"] == len(exp)
+    assert res.as_dict() == exp
+
+    res3 = count_kmers(bank, kmer_size=31, abundance_min=3)
+    exp3 = {v: c for v, c in exp.items() if c >= 3}
+    assert res3.as_dict() == exp3
+
+
+def test_abundance_max():
+    seqs = ["ACGTACGTACGTACGTACGT"] * 5 + ["TTTTGGGGCCCCAAAATTCG"]
+    res = count_kmers(BankStrings(*seqs), kmer_size=15, abundance_min=1,
+                      abundance_max=4, batch_reads=8, batch_len=64)
+    exp = count_kmers_py(seqs, 15, abundance_min=1, abundance_max=4)
+    assert res.as_dict() == exp
+
+
+def test_histogram_counts_distinct_kmers():
+    seqs = ["ACGTACGTACGTACGTACGT"] * 3
+    res = count_kmers(BankStrings(*seqs), kmer_size=15, abundance_min=1,
+                      batch_reads=8, batch_len=64)
+    h = res.histogram.bins
+    exp = count_kmers_py(seqs, 15)
+    from collections import Counter
+    by_ab = Counter(exp.values())
+    for ab, n in by_ab.items():
+        assert h[ab] == n
+    assert int(h.sum()) == len(exp)
