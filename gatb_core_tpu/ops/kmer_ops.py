@@ -126,7 +126,11 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
         rev = _shr2_insert(rev, c ^ U32(2), k)
         return (fwd, rev), (fwd, rev)
 
-    init = (jnp.zeros((B, w), U32), jnp.zeros((B, w), U32))
+    # Derive the zero init from the input so it inherits any shard_map
+    # varying-manual-axes (vma) tag; a literal zeros() carry fails to
+    # typecheck against the varying scan outputs inside shard_map.
+    zero = jnp.zeros((B, w), U32) + (codes[:, 0:1] & U32(0))
+    init = (zero, zero)
     _, (fwds, revs) = jax.lax.scan(step, init, jnp.moveaxis(codes, 1, 0))
     # fwds: (L, B, W) — window ending at position t corresponds to kmer t-k+1
     fwds = jnp.moveaxis(fwds[k - 1:], 0, 1)  # (B, P, W)

@@ -1,0 +1,35 @@
+"""Device mesh helpers.
+
+The reference's only parallel substrate is a pthread pool pulling batches
+from a shared iterator (Dispatcher, designpattern/impl/Command.hpp). The
+TPU-native equivalent is SPMD over a 1-D data mesh: reads are sharded over
+axis "d" and kmers are re-sharded by minimizer partition via all-to-all
+(see exchange.py and SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "d"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"need {n_devices} devices, have {len(devices)}")
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

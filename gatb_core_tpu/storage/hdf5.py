@@ -1,0 +1,202 @@
+"""Persistent hierarchical storage: HDF5-backed Storage/Group tree.
+
+TPU-native equivalent of gatb-core's storage layer (tools/storage/impl/
+Storage.hpp:166-669, StorageHDF5.hpp): a Storage is a tree of Groups holding
+typed collections (datasets) and string properties; every algorithm persists
+its artifacts into a group, and the file doubles as the checkpoint for
+stage-wise resume (Graph 'state' property, debruijn/impl/Graph.hpp:1010-1030).
+
+Layout written for a graph build (matches the reference structure,
+Graph.cpp:424-428 + CountProcessorDump.hpp:94 + CountProcessorHistogram.hpp:147):
+
+  /                    attrs: state, kmer_size, nb_solid_kmers
+  /configuration       attr 'xml' = config dump
+  /dsk/solid           dataset: compound {value: uint64[words], abundance: i32}
+  /histogram/histogram dataset: compound {index: u64, abundance: u64}
+  /histogram/cutoff    dataset: u64[1]
+  /bloom               bloom bit array + params
+  /debloom             cFP set
+  /branching           sorted branching-node list
+  /minimizers          repartition table
+
+Mapping note: k-mer values are stored as little-endian uint64 word arrays,
+the exact in-memory layout of the reference's LargeInt<words>
+(tools/math/LargeInt.hpp), converted from the engine's big-endian uint32
+limbs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+    HAVE_H5PY = True
+except ImportError:  # pragma: no cover
+    HAVE_H5PY = False
+
+# Graph build state bits (debruijn/impl/Graph.hpp:1010-1030)
+STATE_INIT_DONE = 1 << 0
+STATE_CONFIGURATION_DONE = 1 << 1
+STATE_SORTING_COUNT_DONE = 1 << 2
+STATE_BLOOM_DONE = 1 << 3
+STATE_DEBLOOM_DONE = 1 << 4
+STATE_BRANCHING_DONE = 1 << 5
+STATE_MPHF_DONE = 1 << 6
+STATE_ADJACENCY_DONE = 1 << 7
+STATE_NONSIMPLE_CACHE = 1 << 8
+
+
+def limbs_to_words64(limbs: np.ndarray) -> np.ndarray:
+    """(N, W32) big-endian uint32 limbs -> (N, words) little-endian uint64
+    words (reference LargeInt layout)."""
+    limbs = np.asarray(limbs, dtype=np.uint32)
+    n, w32 = limbs.shape
+    if w32 % 2:  # pad a zero most-significant limb
+        limbs = np.concatenate(
+            [np.zeros((n, 1), np.uint32), limbs], axis=1)
+        w32 += 1
+    words = w32 // 2
+    le = limbs[:, ::-1].astype(np.uint64)  # little-endian u32 order
+    out = np.zeros((n, words), np.uint64)
+    for j in range(words):
+        out[:, j] = le[:, 2 * j] | (le[:, 2 * j + 1] << np.uint64(32))
+    return out
+
+
+def words64_to_limbs(words: np.ndarray, w32: int) -> np.ndarray:
+    """Inverse of limbs_to_words64."""
+    words = np.asarray(words, dtype=np.uint64)
+    n, nw = words.shape
+    le = np.zeros((n, 2 * nw), np.uint32)
+    for j in range(nw):
+        le[:, 2 * j] = (words[:, j] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        le[:, 2 * j + 1] = (words[:, j] >> np.uint64(32)).astype(np.uint32)
+    be = le[:, ::-1]
+    return be[:, -w32:] if be.shape[1] >= w32 else np.concatenate(
+        [np.zeros((n, w32 - be.shape[1]), np.uint32), be], axis=1)
+
+
+class Group:
+    """Thin wrapper over an h5py group with reference-style properties."""
+
+    def __init__(self, h5group):
+        self._g = h5group
+
+    def group(self, name: str) -> "Group":
+        if name in self._g:
+            return Group(self._g[name])
+        return Group(self._g.create_group(name))
+
+    def set_property(self, key: str, value) -> None:
+        self._g.attrs[key] = value
+
+    def get_property(self, key: str, default=None):
+        return self._g.attrs.get(key, default)
+
+    def set_dataset(self, name: str, data: np.ndarray) -> None:
+        if name in self._g:
+            del self._g[name]
+        self._g.create_dataset(name, data=data, compression="gzip",
+                               compression_opts=1)
+
+    def get_dataset(self, name: str) -> np.ndarray | None:
+        if name not in self._g:
+            return None
+        return self._g[name][...]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._g
+
+
+class Storage(Group):
+    """HDF5 storage root (StorageFactory STORAGE_HDF5 equivalent)."""
+
+    def __init__(self, path: str, mode: str = "a"):
+        if not HAVE_H5PY:  # pragma: no cover
+            raise RuntimeError("h5py not available")
+        self._f = h5py.File(path, mode)
+        super().__init__(self._f)
+        self.path = path
+
+    def close(self) -> None:
+        self._f.close()
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- graph-build state machine helpers ---------------------------
+    def get_state(self) -> int:
+        return int(self.get_property("state", 0))
+
+    def set_state_bit(self, bit: int) -> None:
+        self.set_property("state", np.uint64(self.get_state() | bit))
+
+    def check_state(self, bit: int) -> bool:
+        return bool(self.get_state() & bit)
+
+
+def count_dtype(words: int) -> np.dtype:
+    """Compound dtype of a Count record {value, abundance}
+    (kmer/impl/Model.hpp:1568-1590)."""
+    return np.dtype([("value", np.uint64, (words,)), ("abundance", np.int32)])
+
+
+def save_solid(storage: Storage, kmers_limbs: np.ndarray,
+               counts: np.ndarray, kmer_size: int) -> None:
+    """Write the solid count table into /dsk/solid."""
+    words = max(1, (kmer_size + 31) // 32)
+    vals = limbs_to_words64(kmers_limbs)
+    if vals.shape[1] < words:
+        vals = np.concatenate(
+            [vals, np.zeros((len(vals), words - vals.shape[1]), np.uint64)],
+            axis=1)
+    rec = np.zeros(len(counts), dtype=count_dtype(words))
+    rec["value"] = vals[:, :words]
+    rec["abundance"] = counts
+    dsk = storage.group("dsk")
+    dsk.set_dataset("solid", rec)
+    dsk.set_property("nb_items", np.uint64(len(rec)))
+    storage.set_property("nb_solid_kmers", np.uint64(len(rec)))
+    storage.set_property("kmer_size", np.uint64(kmer_size))
+    storage.set_state_bit(STATE_SORTING_COUNT_DONE)
+
+
+def load_solid(storage: Storage):
+    """Read /dsk/solid back as (limbs uint32 (N,W32), counts int32)."""
+    rec = storage.group("dsk").get_dataset("solid")
+    k = int(storage.get_property("kmer_size"))
+    w32 = (2 * k + 31) // 32
+    limbs = words64_to_limbs(rec["value"], w32)
+    return limbs, rec["abundance"].astype(np.int32)
+
+
+def save_histogram(storage: Storage, histogram) -> None:
+    g = storage.group("histogram")
+    pairs = histogram.to_pairs()
+    rec = np.zeros(len(pairs), dtype=np.dtype(
+        [("index", np.uint64), ("abundance", np.uint64)]))
+    rec["index"] = pairs[:, 0]
+    rec["abundance"] = pairs[:, 1]
+    g.set_dataset("histogram", rec)
+    g.set_dataset("cutoff", np.asarray([histogram.cutoff], np.uint64))
+    g.set_property("first_peak", np.uint64(histogram.first_peak))
+
+
+def save_config(storage: Storage, info: dict) -> None:
+    g = storage.group("configuration")
+    lines = ["<config>"]
+    for key, val in sorted(info.items()):
+        lines.append(f"  <{key}>{val}</{key}>")
+    lines.append("</config>")
+    g.set_property("xml", "\n".join(lines))
+    for key, val in info.items():
+        if isinstance(val, (int, np.integer)):
+            g.set_property(key, np.int64(val))
+    storage.set_state_bit(STATE_CONFIGURATION_DONE)

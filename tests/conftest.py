@@ -8,10 +8,14 @@ multi-chip path via __graft_entry__.dryrun_multichip.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the 'axon' TPU-tunnel
+# platform in every process; override it so tests run on a local 8-device
+# virtual CPU mesh (fast, deterministic, multi-chip shardings compile).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,77 @@
+"""Multi-chip counting tests on the virtual 8-device CPU mesh.
+
+Checks SURVEY §4's implication (d): same outputs at 1 device vs N devices —
+the all-to-all minimizer exchange must be result-invariant.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gatb_core_tpu.ops.bitpack import ascii_to_codes_np
+from gatb_core_tpu.parallel.mesh import make_mesh
+from gatb_core_tpu.parallel.exchange import make_count_step, global_table
+from gatb_core_tpu.kmer.model import count_kmers_py
+from gatb_core_tpu.ops.kmer_ops import kmers_to_py
+
+
+def _batch(seqs, B, L):
+    codes = np.zeros((B, L), np.uint8)
+    valid = np.zeros((B, L), bool)
+    lengths = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        c, v = ascii_to_codes_np(np.frombuffer(s.encode(), np.uint8))
+        codes[i, :len(s)] = c
+        valid[i, :len(s)] = v
+        lengths[i] = len(s)
+    return codes, valid, lengths
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_count_equals_reference(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(42)
+    k, m = 21, 10
+    B, L = 64, 96
+    seqs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(k, L))))
+            for _ in range(B - 8)]
+    seqs += seqs[:6]  # duplicates
+    seqs.append("N" * 40)  # invalid
+    seqs.append("ACGT")   # too short
+    codes, valid, lengths = _batch(seqs, B, L)
+
+    mesh = make_mesh(ndev)
+    step = make_count_step(mesh, k, m)
+    shards = step(jnp.asarray(codes), jnp.asarray(valid),
+                  jnp.asarray(lengths))
+    gk, gc = global_table(shards, ndev)
+
+    exp = count_kmers_py(seqs, k)
+    got = dict(zip(kmers_to_py(gk), gc.tolist()))
+    assert got == exp
+
+
+def test_overflow_is_exact():
+    """Tiny capacity factor forces overflow; results must stay exact."""
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    k = 15
+    B, L = 32, 64
+    # many copies of the same read -> one hot partition -> overflow
+    base = "".join(rng.choice(list("ACGT"), size=60))
+    seqs = [base] * (B - 2) + ["".join(rng.choice(list("ACGT"), size=60))
+                               for _ in range(2)]
+    codes, valid, lengths = _batch(seqs, B, L)
+    mesh = make_mesh(ndev)
+    step = make_count_step(mesh, k, 10, capacity_factor=0.25)
+    shards = step(jnp.asarray(codes), jnp.asarray(valid),
+                  jnp.asarray(lengths))
+    assert int(np.asarray(shards.n_overflowed).sum()) > 0
+    gk, gc = global_table(shards, ndev)
+    exp = count_kmers_py(seqs, k)
+    got = dict(zip(kmers_to_py(gk), gc.tolist()))
+    assert got == exp
