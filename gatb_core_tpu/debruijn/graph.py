@@ -1,0 +1,320 @@
+"""De Bruijn graph over the solid k-mer set (GraphTemplate equivalent).
+
+Reference: debruijn/impl/Graph.hpp:540 / Graph.cpp. The reference's node
+membership is (Bloom AND not-cFP), which by construction of the cFP set
+equals exact membership in the solid set for every query on the traversal
+path (neighbors of contained nodes). Here membership is exact by design —
+a device binary search over the sorted solid table (collections/sortedset),
+with an optional Bloom front for batched prefiltering — so graph topology is
+identical to the reference's for the same solid set.
+
+Node identity: canonical kmer value, represented as (W,) uint32 big-endian
+limbs. Node index (nodeMPHFIndex, Graph.hpp:924) = rank in the sorted solid
+table. Per-node arrays (abundance, state, adjacency) are indexed by it.
+
+The build is the reference's state machine (Graph.cpp build_visitor_solid +
+build_visitor_postsolid): configuration -> counting -> [bloom] -> branching,
+persisted stage-by-stage into HDF5 storage for checkpoint/resume
+(Graph.hpp:1010-1030 state bits).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..collections.sortedset import SortedKmerSet
+from ..collections.abundance import discretize, dediscretize
+from ..kmer.counting import CountConfig, SortingCount, CountResult
+from ..kmer.model import string_to_kmer, kmer_to_string, canonical
+from ..ops.kmer_ops import nb_limbs, py_to_limbs, kmers_to_py
+from ..ops.neighbor_ops import neighbor_candidates
+from ..storage import hdf5 as storage_mod
+from ..storage.hdf5 import (
+    Storage, STATE_SORTING_COUNT_DONE, STATE_BRANCHING_DONE,
+    STATE_ADJACENCY_DONE,
+)
+
+U32 = jnp.uint32
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_table"))
+def _adjacency_kernel(nodes, table, k: int, n_table: int):
+    """8-bit adjacency masks for a batch of nodes against the solid table."""
+    from ..collections.sortedset import _searchsorted_limbs
+
+    n, w = nodes.shape
+    cands = neighbor_candidates(nodes, k)      # (N, 8, W)
+    flat = cands.reshape(n * 8, w)
+    pos = _searchsorted_limbs(table, flat, n_table)
+    safe = jnp.minimum(pos, max(n_table - 1, 0))
+    found = jnp.all(table[safe] == flat, axis=-1) & (pos < n_table)
+    bits = found.reshape(n, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)
+
+
+class Graph:
+    """Node-centric de Bruijn graph (batched, device-resident queries)."""
+
+    def __init__(self, kmer_size: int, solid_limbs: np.ndarray,
+                 solid_counts: np.ndarray, storage: Storage | None = None,
+                 info: dict | None = None):
+        self.kmer_size = kmer_size
+        self._k = kmer_size
+        self._w = nb_limbs(kmer_size)
+        self.solid_limbs = np.asarray(solid_limbs, np.uint32)
+        self.solid_counts = np.asarray(solid_counts, np.int32)
+        self._set = SortedKmerSet(jnp.asarray(self.solid_limbs),
+                                  len(self.solid_limbs))
+        self.storage = storage
+        self.info = dict(info or {})
+        n = len(self.solid_limbs)
+        # per-node maps (MPHF-indexed): abundance (8-bit discretized),
+        # state byte (bit0: deleted, bits1+: user marks), adjacency cache
+        self.abundance_codes = discretize(self.solid_counts)
+        self.node_state = np.zeros(n, np.uint8)
+        self._adjacency: np.ndarray | None = None
+        self._branching: np.ndarray | None = None
+
+    # ------------------------------------------------------------------
+    # creation / loading
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, bank=None, kmer_size: int = 31, abundance_min=2,
+               abundance_max=2**31 - 1, minimizer_size: int = 10,
+               output: str | None = None, histo_max: int = 10000,
+               batch_reads: int = 1024, batch_len: int = 256,
+               build_branching: bool = True) -> "Graph":
+        """Full graph build from a bank (Graph::create equivalent,
+        Graph.cpp:286-605)."""
+        cfg = CountConfig(kmer_size=kmer_size, abundance_min=abundance_min,
+                          abundance_max=abundance_max,
+                          minimizer_size=minimizer_size, histo_max=histo_max,
+                          batch_reads=batch_reads, batch_len=batch_len)
+        result = SortingCount(cfg).execute(bank)
+
+        storage = None
+        if output is not None:
+            storage = Storage(output, "w")
+            storage_mod.save_config(storage, result.info)
+            storage_mod.save_solid(storage, result.solid_kmers,
+                                   result.solid_counts, kmer_size)
+            storage_mod.save_histogram(storage, result.histogram)
+
+        graph = cls(kmer_size, result.solid_kmers, result.solid_counts,
+                    storage, result.info)
+        if build_branching:
+            graph.branching_nodes()  # computes + persists
+        if storage is not None:
+            storage.flush()
+        return graph
+
+    @classmethod
+    def load(cls, uri: str) -> "Graph":
+        """Reopen a persisted graph; resumes after completed stages
+        (configure_visitor equivalent, Graph.cpp:766-802)."""
+        storage = Storage(uri, "a")
+        if not storage.check_state(STATE_SORTING_COUNT_DONE):
+            raise ValueError(f"{uri}: no completed counting stage")
+        limbs, counts = storage_mod.load_solid(storage)
+        k = int(storage.get_property("kmer_size"))
+        graph = cls(k, limbs, counts, storage)
+        if storage.check_state(STATE_BRANCHING_DONE):
+            rec = storage.group("branching").get_dataset("nodes")
+            if rec is not None:
+                graph._branching = storage_mod.words64_to_limbs(
+                    rec["value"], graph._w)
+        if storage.check_state(STATE_ADJACENCY_DONE):
+            adj = storage.group("adjacency").get_dataset("masks")
+            if adj is not None:
+                graph._adjacency = adj
+        return graph
+
+    # ------------------------------------------------------------------
+    # basic accessors
+    # ------------------------------------------------------------------
+    @property
+    def nb_nodes(self) -> int:
+        return len(self.solid_limbs)
+
+    def iter_nodes(self, chunk: int = 1 << 16):
+        """Yield (limbs_chunk, counts_chunk) over all nodes in sorted order."""
+        for i in range(0, self.nb_nodes, chunk):
+            yield self.solid_limbs[i:i + chunk], \
+                self.solid_counts[i:i + chunk]
+
+    def build_node(self, seq: str) -> np.ndarray:
+        """Node from a kmer string (Graph::buildNode): canonical limbs (W,)."""
+        if len(seq) != self._k:
+            raise ValueError(f"need a {self._k}-mer, got {len(seq)}")
+        v = canonical(string_to_kmer(seq), self._k)
+        return py_to_limbs([v], self._k)[0]
+
+    def node_to_string(self, node: np.ndarray) -> str:
+        return kmer_to_string(kmers_to_py(np.asarray(node)[None])[0], self._k)
+
+    # ------------------------------------------------------------------
+    # membership / index / abundance (batched)
+    # ------------------------------------------------------------------
+    def _as_batch(self, nodes) -> np.ndarray:
+        nodes = np.asarray(nodes, np.uint32)
+        if nodes.ndim == 1:
+            nodes = nodes[None]
+        return nodes
+
+    def contains(self, nodes) -> np.ndarray:
+        """(N, W) or (W,) -> bool array. Exact membership in the solid set."""
+        batch = self._as_batch(nodes)
+        return np.asarray(self._set.contains(jnp.asarray(batch)))
+
+    def node_index(self, nodes) -> np.ndarray:
+        """nodeMPHFIndex (Graph.hpp:924): rank in sorted table, -1 if absent."""
+        batch = self._as_batch(nodes)
+        return np.asarray(self._set.rank(jnp.asarray(batch)))
+
+    def query_abundance(self, nodes) -> np.ndarray:
+        """Discretized abundance (queryAbundance, Graph.hpp:900)."""
+        idx = self.node_index(nodes)
+        out = dediscretize(self.abundance_codes[np.maximum(idx, 0)])
+        return np.where(idx >= 0, out, 0)
+
+    # ---- node state map (queryNodeState/setNodeState, Graph.hpp:904-913)
+    def set_node_state(self, nodes, value: int) -> None:
+        idx = self.node_index(nodes)
+        self.node_state[idx[idx >= 0]] = np.uint8(value << 1) | \
+            (self.node_state[idx[idx >= 0]] & 1)
+
+    def query_node_state(self, nodes) -> np.ndarray:
+        idx = self.node_index(nodes)
+        return (self.node_state[np.maximum(idx, 0)] >> 1) * (idx >= 0)
+
+    def delete_node(self, nodes) -> None:
+        idx = self.node_index(nodes)
+        self.node_state[idx[idx >= 0]] |= 1
+
+    def delete_nodes_by_index(self, idx: np.ndarray) -> None:
+        self.node_state[idx] |= 1
+
+    def is_node_deleted(self, nodes) -> np.ndarray:
+        idx = self.node_index(nodes)
+        return (self.node_state[np.maximum(idx, 0)] & 1).astype(bool) \
+            & (idx >= 0)
+
+    # ------------------------------------------------------------------
+    # adjacency / neighbors
+    # ------------------------------------------------------------------
+    def adjacency_masks(self, nodes) -> np.ndarray:
+        """8-bit neighbor mask per node: bits 0-3 out by nt, 4-7 in by nt."""
+        batch = self._as_batch(nodes)
+        return np.asarray(_adjacency_kernel(
+            jnp.asarray(batch), self._set.limbs, self._k, self._set.n))
+
+    def neighbors(self, node) -> dict:
+        """Scalar convenience: {'out': [limbs...], 'in': [limbs...]}."""
+        batch = self._as_batch(node)
+        cands = np.asarray(neighbor_candidates(jnp.asarray(batch), self._k))
+        mask = self.adjacency_masks(batch)[0]
+        out = [cands[0, i] for i in range(4) if mask & (1 << i)]
+        inn = [cands[0, 4 + i] for i in range(4) if mask & (1 << (4 + i))]
+        return {"out": out, "in": inn}
+
+    def out_degree(self, nodes) -> np.ndarray:
+        m = self.adjacency_masks(nodes)
+        return _popcount4(m & 0x0F)
+
+    def in_degree(self, nodes) -> np.ndarray:
+        m = self.adjacency_masks(nodes)
+        return _popcount4(m >> 4)
+
+    def precompute_adjacency(self, chunk: int = 1 << 15) -> np.ndarray:
+        """Cache the 8-bit mask for every node (precomputeAdjacency,
+        Graph.cpp:3508-3610)."""
+        if self._adjacency is None:
+            masks = np.zeros(self.nb_nodes, np.uint8)
+            pad_chunk = min(chunk, max(1, self.nb_nodes))
+            for i in range(0, self.nb_nodes, pad_chunk):
+                part = self.solid_limbs[i:i + pad_chunk]
+                if len(part) < pad_chunk:  # pad to static shape
+                    pad = np.zeros((pad_chunk - len(part), self._w),
+                                   np.uint32)
+                    padded = np.concatenate([part, pad])
+                    masks[i:i + len(part)] = self.adjacency_masks(
+                        padded)[:len(part)]
+                else:
+                    masks[i:i + pad_chunk] = self.adjacency_masks(part)
+            self._adjacency = masks
+            if self.storage is not None:
+                g = self.storage.group("adjacency")
+                g.set_dataset("masks", masks)
+                self.storage.set_state_bit(STATE_ADJACENCY_DONE)
+        return self._adjacency
+
+    # ------------------------------------------------------------------
+    # branching (BranchingAlgorithm, debruijn/impl/BranchingAlgorithm.cpp)
+    # ------------------------------------------------------------------
+    def branching_nodes(self) -> np.ndarray:
+        """Sorted branching nodes (indegree != 1 or outdegree != 1)."""
+        if self._branching is None:
+            adj = self.precompute_adjacency()
+            outd = _popcount4(adj & 0x0F)
+            ind = _popcount4(adj >> 4)
+            mask = (outd != 1) | (ind != 1)
+            self._branching = self.solid_limbs[mask]
+            self._branching_counts = self.solid_counts[mask]
+            if self.storage is not None:
+                g = self.storage.group("branching")
+                words = storage_mod.limbs_to_words64(self._branching)
+                rec = np.zeros(len(self._branching),
+                               dtype=storage_mod.count_dtype(words.shape[1]))
+                rec["value"] = words
+                rec["abundance"] = self._branching_counts
+                g.set_dataset("nodes", rec)
+                g.set_property("nb_branching", np.uint64(len(rec)))
+                g.set_property("checksum_branching",
+                               self.checksum_branching())
+                self.storage.set_state_bit(STATE_BRANCHING_DONE)
+        return self._branching
+
+    def checksum_branching(self) -> str:
+        """Sum of branching kmer values mod 2^(64*words), printed exactly
+        like LargeInt::operator<< (LargeInt.hpp:630-648): 64-bit hex words
+        high-to-low, '.'-separated, leading zero words skipped
+        (BranchingAlgorithm.cpp:263-314)."""
+        nodes = self.branching_nodes()
+        words = max(1, (self._k + 31) // 32)
+        total = 0
+        vals = kmers_to_py(nodes)
+        mod = 1 << (64 * words)
+        for v in vals:
+            total = (total + v) % mod
+        ws = [(total >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+              for i in range(words)]
+        i = words - 1
+        while i >= 0 and ws[i] == 0:
+            i -= 1
+        if i < 0:
+            return ""  # reference prints nothing for an all-zero value
+        return ".".join(f"{ws[j]:x}" for j in range(i, -1, -1))
+
+    def get_info(self) -> dict:
+        info = dict(self.info)
+        info.update({
+            "kmer_size": self._k,
+            "nb_solid_kmers": self.nb_nodes,
+        })
+        if self._branching is not None:
+            info["nb_branching"] = len(self._branching)
+            info["checksum_branching"] = self.checksum_branching()
+        return info
+
+
+def _popcount4(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint8)
+    x = (x & 0x55) + ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x & 0x0F) + (x >> 4)

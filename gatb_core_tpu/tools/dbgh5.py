@@ -1,0 +1,93 @@
+"""dbgh5-equivalent CLI: full de Bruijn graph build from reads.
+
+Mirrors the reference tool (tools/dbgh5.cpp:34-95) and its flag names
+(tools/misc/api/StringsRepository.hpp): -in, -out, -kmer-size,
+-abundance-min, -abundance-max, -minimizer-size, -histo-max, -check.
+
+Usage:
+  python -m gatb_core_tpu.tools.dbgh5 -in reads.fa -kmer-size 31 \
+      -abundance-min 3 -out graph.h5 [-check expected.props]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..debruijn.graph import Graph
+from ..misc.properties import Properties
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbgh5", description=__doc__, prefix_chars="-",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    # single-dash long options like the reference CLI
+    p.add_argument("-in", dest="input", required=True,
+                   help="reads file (FASTA/FASTQ, .gz, comma list, album)")
+    p.add_argument("-out", dest="out", default=None, help="output graph .h5")
+    p.add_argument("-kmer-size", dest="kmer_size", type=int, default=31)
+    p.add_argument("-abundance-min", dest="abundance_min", default="2")
+    p.add_argument("-abundance-max", dest="abundance_max", type=int,
+                   default=2**31 - 1)
+    p.add_argument("-minimizer-size", dest="minimizer_size", type=int,
+                   default=10)
+    p.add_argument("-histo-max", dest="histo_max", type=int, default=10000)
+    p.add_argument("-check", dest="check", default=None,
+                   help="compare info against a reference .props file")
+    p.add_argument("-check-dump", dest="check_dump", default=None,
+                   help="write info in .props format to this file")
+    p.add_argument("-verbose", dest="verbose", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    amin = args.abundance_min if args.abundance_min == "auto" \
+        else int(args.abundance_min)
+    out = args.out or (args.input.split(",")[0].rsplit(".", 1)[0] + ".h5")
+
+    t0 = time.time()
+    graph = Graph.create(
+        bank=args.input, kmer_size=args.kmer_size, abundance_min=amin,
+        abundance_max=args.abundance_max,
+        minimizer_size=args.minimizer_size, output=out,
+        histo_max=args.histo_max)
+    elapsed = time.time() - t0
+
+    props = Properties()
+    props.add(0, "dbgh5")
+    props.update(graph.get_info(), depth=1)
+    props.add(1, "exec_time", f"{elapsed:.3f}")
+    props.add(1, "output", out)
+    if args.verbose:
+        print(props.dump_raw())
+
+    if args.check_dump:
+        with open(args.check_dump, "w") as f:
+            for k, v in props.as_flat_dict().items():
+                f.write(f"{k} {v}\n")
+
+    if args.check:
+        expected = Properties.load_props_file(args.check)
+        # only compare the reproducible keys (reference does a key subset too)
+        keys = {"kmer_size", "kmers_nb_distinct", "kmers_nb_solid",
+                "kmers_nb_weak", "kmers_nb_valid", "kmers_nb_invalid",
+                "nb_branching", "checksum_branching", "abundance_min",
+                "abundance_max"}
+        expected = {k: v for k, v in expected.items() if k in keys}
+        errors = props.check_against(expected)
+        if errors:
+            print("CHECK FAILED:", file=sys.stderr)
+            for e in errors:
+                print("  " + e, file=sys.stderr)
+            return 1
+        print(f"CHECK OK ({len(expected)} keys)")
+    if graph.storage is not None:
+        graph.storage.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

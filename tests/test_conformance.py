@@ -1,0 +1,71 @@
+"""Conformance vs the reference dbgh5 binary (gatb-core v1.4.2).
+
+Golden values below were produced by running the reference's own tool on
+this machine (Release build at .ref_build/):
+
+  dbgh5 -in test/db/reads1.fa -kmer-size 31 -abundance-min 3
+  dbgh5 -in test/db/reads1.fa -kmer-size 63 -abundance-min 2
+  dbgh5 -in test/db/reads3.fa.gz -kmer-size 21 -abundance-min 2  (slow)
+
+This is the reference's functional non-regression format
+(test/functional/test1/check/*.props, tools/dbgh5.cpp -check).
+"""
+
+import os
+
+import pytest
+
+from gatb_core_tpu.debruijn.graph import Graph
+
+GOLDEN_READS1_K31_A3 = {
+    "kmers_nb_valid": 91615,
+    "kmers_nb_distinct": 86773,
+    "kmers_nb_solid": 623,
+    "kmers_nb_weak": 86150,
+    "nb_branching": 24,
+    "checksum_branching": "30eb72bc69eca0d3",
+}
+
+GOLDEN_READS1_K63_A2 = {
+    "kmers_nb_valid": 88415,
+    "kmers_nb_distinct": 84917,
+    "kmers_nb_solid": 2281,
+    "kmers_nb_weak": 82636,
+    "nb_branching": 38,
+    "checksum_branching": "b3ebca47e4682ee3.3fdb6572fb6e8445",
+}
+
+GOLDEN_READS3_K21_A2 = {
+    "kmers_nb_valid": 4926295,
+    "kmers_nb_distinct": 3971739,
+    "kmers_nb_solid": 601710,
+    "kmers_nb_weak": 3370029,
+    "nb_branching": 21943,
+    "checksum_branching": "5cceae3527b14d",
+}
+
+
+def _check(graph, golden):
+    info = graph.get_info()
+    for key, val in golden.items():
+        assert str(info[key]) == str(val), (key, info[key], val)
+
+
+def test_reads1_k31_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=31,
+                         abundance_min=3)
+    _check(graph, GOLDEN_READS1_K31_A3)
+
+
+def test_reads1_k63_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=63,
+                         abundance_min=2)
+    _check(graph, GOLDEN_READS1_K63_A2)
+
+
+@pytest.mark.skipif(not os.environ.get("GATB_TPU_SLOW_TESTS"),
+                    reason="slow: ~5M kmers on CPU (set GATB_TPU_SLOW_TESTS=1)")
+def test_reads3_k21_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads3.fa.gz", kmer_size=21,
+                         abundance_min=2, batch_reads=4096)
+    _check(graph, GOLDEN_READS3_K21_A2)
