@@ -301,6 +301,30 @@ class Graph:
             return ""  # reference prints nothing for an all-zero value
         return ".".join(f"{ws[j]:x}" for j in range(i, -1, -1))
 
+    def simplify(self, verbose: int = 0):
+        """Run the full tip/bulge/EC simplification (Graph::simplify,
+        Graph.hpp:796 / Simplifications.cpp:112-215)."""
+        from .simplifications import Simplifications
+
+        return Simplifications(self, verbose=verbose).simplify()
+
+    def unitig_graph(self):
+        """Compact the (live) graph into unitigs with links
+        (GraphUnitigs / UnitigsConstructionAlgorithm equivalent)."""
+        from .graph_unitigs import build_unitig_graph
+
+        live = ~(self.node_state & 1).astype(bool)
+        if live.all():
+            adj = self.precompute_adjacency()
+            return build_unitig_graph(self.solid_limbs, self.solid_counts,
+                                      adj, self._k)
+        from .simplifications import Simplifications
+
+        simp = Simplifications(self)
+        _, ug = simp._compact(self.solid_limbs[live],
+                              self.solid_counts[live])
+        return ug
+
     def get_info(self) -> dict:
         info = dict(self.info)
         info.update({

@@ -1,0 +1,191 @@
+"""Unitig-centric de Bruijn graph (GraphUnitigs equivalent).
+
+Reference: debruijn/impl/GraphUnitigs.hpp/.cpp — unitigs in RAM with O(1)
+simple-path ops, plus LinkTigs (impl/LinkTigs.cpp) computing inter-unitig
+links (GFA-style L: records). Here links are derived directly from the
+kmer-level adjacency of unitig extremities (a sort-join over extremity
+kmers replaces LinkTigs' 8-pass extremity hashing).
+
+Oriented unitig id: 2*u + s (s=0 forward as stored, s=1 reverse
+complement). A link (a -> b) means: the last kmer of oriented a extends to
+the first kmer of oriented b.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from .unitigs import UnitigSet, build_unitigs
+from ..ops.neighbor_ops import neighbor_candidates
+from ..collections.sortedset import _searchsorted_limbs
+
+
+@dataclass
+class UnitigGraph:
+    """CSR adjacency over oriented unitigs + per-unitig data."""
+
+    k: int
+    sequences: list
+    mean_abundance: np.ndarray       # (U,)
+    kmer_counts: np.ndarray          # (U,)
+    # CSR over oriented unitig ids (2U): out-links of each oriented unitig
+    link_offsets: np.ndarray         # (2U+1,)
+    link_targets: np.ndarray         # (E,) oriented unitig ids
+
+    @property
+    def nb_unitigs(self) -> int:
+        return len(self.sequences)
+
+    def unitig_length(self, u) -> np.ndarray:
+        return np.asarray([len(self.sequences[i]) for i in np.atleast_1d(u)])
+
+    def out_links(self, oriented: int) -> np.ndarray:
+        return self.link_targets[
+            self.link_offsets[oriented]:self.link_offsets[oriented + 1]]
+
+    def out_degree_oriented(self) -> np.ndarray:
+        """(2U,) number of out-links of each oriented unitig."""
+        return np.diff(self.link_offsets)
+
+    def sequence_oriented(self, oriented: int) -> str:
+        seq = self.sequences[oriented >> 1]
+        if oriented & 1:
+            comp = str.maketrans("ACGT", "TGCA")
+            return seq.translate(comp)[::-1]
+        return seq
+
+    # GFA-ish dump (unitigs + L records), BCALM2-compatible headers
+    def write_fasta(self, path: str) -> None:
+        """Unitig FASTA with LN:i:, km:f: and L: link headers — the
+        reference's final unitig file format (bglue_algo.cpp output +
+        LinkTigs.cpp:55-120)."""
+        with open(path, "w") as f:
+            for u, seq in enumerate(self.sequences):
+                links = []
+                for s in (0, 1):
+                    for t in self.out_links(2 * u + s):
+                        links.append(
+                            f"L:{'+' if s == 0 else '-'}:{t >> 1}:"
+                            f"{'+' if (t & 1) == 0 else '-'}")
+                header = (f">{u} LN:i:{len(seq)} "
+                          f"km:f:{self.mean_abundance[u]:.1f}")
+                if links:
+                    header += " " + " ".join(links)
+                f.write(header + "\n")
+                f.write(seq + "\n")
+
+
+def build_unitig_graph(solid_limbs: np.ndarray, solid_counts: np.ndarray,
+                       adjacency: np.ndarray, k: int) -> UnitigGraph:
+    """Unitigs + links from the solid kmer set."""
+    us = build_unitigs(solid_limbs, solid_counts, adjacency, k)
+    return link_unitigs(solid_limbs, us, k)
+
+
+def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int) \
+        -> UnitigGraph:
+    """Compute oriented unitig links from extremity-kmer adjacency."""
+    u_count = us.nb_unitigs
+    n = len(solid_limbs)
+    if u_count == 0:
+        return UnitigGraph(k, [], np.zeros(0, np.float32),
+                           np.zeros(0, np.int32), np.zeros(1, np.int64),
+                           np.zeros(0, np.int64))
+
+    # oriented-unitig extremities:
+    #   head kmer of (u, 0) = node with pos 0; tail = pos len-1
+    #   the tail's oriented kmer (node, strand) extends outward
+    lengths = us.kmer_counts
+    # node -> (unitig, pos, strand); find head/tail node ids per unitig
+    node_ids = np.arange(n)
+    heads = np.zeros(u_count, np.int64)
+    tails = np.zeros(u_count, np.int64)
+    heads[us.node_unitig[us.node_pos == 0]] = node_ids[us.node_pos == 0]
+    is_tail = us.node_pos == lengths[us.node_unitig] - 1
+    tails[us.node_unitig[is_tail]] = node_ids[is_tail]
+
+    # For oriented unitig a = (u, s): its last kmer is
+    #   s=0: (tails[u], strand of tail)   s=1: (heads[u], flipped strand)
+    last_nodes = np.concatenate([tails, heads])          # (2U,) order: s=0|s=1
+    last_strands = np.concatenate([us.node_strand[tails],
+                                   1 - us.node_strand[heads]])
+    ori_ids = np.concatenate([2 * np.arange(u_count),
+                              2 * np.arange(u_count) + 1])
+
+    # out-extensions of each last oriented kmer -> neighbor nodes
+    limbs = solid_limbs[last_nodes]
+    table = jnp.asarray(solid_limbs)
+    cands = np.asarray(neighbor_candidates(jnp.asarray(limbs), k))
+    m = len(last_nodes)
+    flat = cands.reshape(m * 8, -1)
+    pos = np.asarray(_searchsorted_limbs(table, jnp.asarray(flat), n))
+    safe = np.minimum(pos, n - 1)
+    found = (solid_limbs[safe] == flat).all(axis=-1) & (pos < n)
+    ranks = np.where(found, pos, -1).reshape(m, 8)
+
+    # also need the entering strand of each candidate (flip), recompute like
+    # unitigs._cand_kernel: candidate forward-form comparison
+    from ..ops.neighbor_ops import shl2_or, shr2_or_top, revcomp_limbs
+    jl = jnp.asarray(limbs)
+    f = jl
+    r = revcomp_limbs(jl, k)
+    flips = np.zeros((m, 8), np.int8)
+    for nt in range(4):
+        cnt = jnp.full((m,), nt, jnp.uint32)
+        fwd = shl2_or(f, cnt, k)
+        flips[:, nt] = np.asarray(jnp.any(fwd != cands[:, nt], axis=-1))
+        fwd_in = shr2_or_top(f, cnt, k)
+        flips[:, 4 + nt] = np.asarray(
+            jnp.any(fwd_in != cands[:, 4 + nt], axis=-1))
+
+    src_list, dst_list = [], []
+    for row in range(m):
+        node = last_nodes[row]
+        s = last_strands[row]
+        # out-extensions of the oriented kmer (node, s):
+        #   s==0 relative to *canonical* of that node? node_strand already
+        #   encodes orientation within the unitig; if the oriented kmer is
+        #   the canonical forward (s==0), its out-extensions are candidate
+        #   slots 0-3; else slots 4+(nt^2) entered in flipped sense.
+        for nt in range(4):
+            if s == 0:
+                slot = nt
+                j = ranks[row, slot]
+                if j < 0:
+                    continue
+                enter_strand = flips[row, slot]
+            else:
+                slot = 4 + (nt ^ 2)
+                j = ranks[row, slot]
+                if j < 0:
+                    continue
+                enter_strand = 1 - flips[row, slot]
+            # neighbor node j entered with strand enter_strand; map to
+            # oriented unitig: node j sits in unitig v at pos p with strand t
+            v = us.node_unitig[j]
+            t = us.node_strand[j]
+            p = us.node_pos[j]
+            if enter_strand == t:
+                # same sense as stored: must be at head (pos 0) -> (v, 0)
+                if p == 0:
+                    src_list.append(ori_ids[row])
+                    dst_list.append(2 * v)
+                elif lengths[v] == 1:
+                    pass
+            else:
+                if p == lengths[v] - 1:
+                    src_list.append(ori_ids[row])
+                    dst_list.append(2 * v + 1)
+
+    src = np.asarray(src_list, np.int64)
+    dst = np.asarray(dst_list, np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    offsets = np.zeros(2 * u_count + 1, np.int64)
+    np.add.at(offsets, src + 1, 1)
+    offsets = np.cumsum(offsets)
+    return UnitigGraph(k, us.sequences, us.mean_abundance, us.kmer_counts,
+                       offsets, dst)

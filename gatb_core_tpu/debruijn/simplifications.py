@@ -1,0 +1,291 @@
+"""Graph simplification: tips, bulges, erroneous connections (ECs).
+
+Port of gatb-core Simplifications (debruijn/impl/Simplifications.cpp),
+whose constants are SPAdes-derived and reproduced exactly
+(Simplifications.cpp:93-105):
+
+  tips:   topological length <= 2.5*k; RCTC length <= 10*k, cutoff 2
+  bulges: max length max(3k, k+100); backtracking k+50; alt-cov mult 1.1
+  ECs:    max length 9*k; RCTC cutoff 4
+  cutoffEvents = max(nbNodes/10000, 1)   (Simplifications.cpp:85)
+
+The reference walks kmer nodes one simple-path at a time under a thread
+dispatcher; here each pass is a vectorized decision over *unitigs* (a
+simple path IS a unitig), deletions are a mask, and the graph is
+recompacted between passes — the NodesDeleter + iterative-pass structure
+of the reference (Simplifications.cpp:112-215) expressed as whole-graph
+array passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .graph_unitigs import UnitigGraph, build_unitig_graph
+from .unitigs import build_unitigs
+
+
+@dataclass
+class SimplifyStats:
+    tips_removed: int = 0
+    bulges_removed: int = 0
+    ec_removed: int = 0
+    passes: int = 0
+
+
+class Simplifications:
+    """Iterative tip/bulge/EC removal over the unitig graph."""
+
+    # SPAdes-like constants (Simplifications.cpp:93-105)
+    TIP_LEN_TOPO_KMULT = 2.5
+    TIP_LEN_RCTC_KMULT = 10.0
+    TIP_RCTC_CUTOFF = 2.0
+    BULGE_LEN_KMULT = 3.0
+    BULGE_LEN_KADD = 100
+    BULGE_ALTPATH_KADD = 50
+    BULGE_ALTPATH_COVMULT = 1.1
+    EC_LEN_KMULT = 9.0
+    EC_RCTC_CUTOFF = 4.0
+
+    def __init__(self, graph, verbose: int = 0):
+        """graph: debruijn.graph.Graph (node-centric, provides the solid
+        set + adjacency + deletion mask)."""
+        self.graph = graph
+        self.k = graph.kmer_size
+        self.verbose = verbose
+        self.stats = SimplifyStats()
+
+    # ------------------------------------------------------------------
+    def _live(self):
+        deleted = (self.graph.node_state & 1).astype(bool)
+        return ~deleted
+
+    def _delete_unitigs(self, ug: UnitigGraph, which: np.ndarray,
+                        us_node_unitig: np.ndarray) -> None:
+        """Mark all kmers of the selected unitigs deleted in the base graph."""
+        sel = which[us_node_unitig]
+        self.graph.node_state[self._live_index[sel]] |= 1
+
+    # ------------------------------------------------------------------
+    def remove_tips(self) -> int:
+        """One tip-removal pass (removeTips, Simplifications.cpp:408-610)."""
+        k = self.k
+        live = self._live()
+        if not live.any():
+            return 0
+        limbs = self.graph.solid_limbs[live]
+        counts = self.graph.solid_counts[live]
+        us, ug = self._compact(limbs, counts)
+
+        deg = ug.out_degree_oriented()
+        u = ug.nb_unitigs
+        deg_f = deg[0::2]   # links out of forward end (tail side)
+        deg_r = deg[1::2]   # links out of reverse end (head side)
+        lens = np.array([len(s) for s in ug.sequences])
+
+        max_topo = int(k * self.TIP_LEN_TOPO_KMULT)
+        max_rctc = int(k * self.TIP_LEN_RCTC_KMULT)
+
+        # tip = unitig with exactly one dead end, and the other end connected
+        one_dead = (deg_f == 0) ^ (deg_r == 0)
+        short_topo = lens <= max_topo
+        short_rctc = lens <= max_rctc
+        cand = one_dead & (short_topo | short_rctc)
+
+        is_tip = cand & short_topo
+        # RCTC test for the rest
+        rctc_cand = np.nonzero(cand & ~short_topo & short_rctc)[0]
+        for ui in rctc_cand:
+            connected_end = 2 * ui if deg_f[ui] > 0 else 2 * ui + 1
+            if self._satisfy_rctc(ug, connected_end,
+                                  float(ug.mean_abundance[ui]),
+                                  self.TIP_RCTC_CUTOFF):
+                is_tip[ui] = True
+
+        n_removed = int(is_tip.sum())
+        if n_removed:
+            self._delete_unitigs(ug, is_tip, us.node_unitig)
+        self.stats.tips_removed += n_removed
+        return n_removed
+
+    def _compact(self, limbs, counts):
+        from .graph import _adjacency_kernel
+        from .graph_unitigs import link_unitigs
+        import jax.numpy as jnp
+
+        n = len(limbs)
+        adj = np.zeros(n, np.uint8)
+        if n:
+            csize = min(1 << 15, n)
+            table = jnp.asarray(limbs)
+            for i in range(0, n, csize):
+                part = limbs[i:i + csize]
+                npart = len(part)
+                if npart < csize:
+                    part = np.concatenate(
+                        [part, np.zeros((csize - npart, limbs.shape[1]),
+                                        np.uint32)])
+                adj[i:i + npart] = np.asarray(_adjacency_kernel(
+                    jnp.asarray(part), table, self.k, n))[:npart]
+        us = build_unitigs(limbs, counts, adj, self.k)
+        ug = link_unitigs(limbs, us, self.k)
+        self._live_index = np.nonzero(self._live())[0]
+        return us, ug
+
+    def _satisfy_rctc(self, ug: UnitigGraph, oriented_end: int,
+                      path_abundance: float, cutoff: float) -> bool:
+        """RCTC: mean coverage of the neighbors-of-branching-nodes
+        > cutoff * path abundance (satisfyRCTC, Simplifications.cpp:320-371)."""
+        branching = ug.out_links(oriented_end)
+        if len(branching) == 0:
+            return False
+        total = 0.0
+        for b in branching:
+            # mean abundance of b's *other* neighbors (both directions),
+            # excluding the path unitig itself
+            nb = []
+            for s in (b, b ^ 1):
+                for t in ug.out_links(s):
+                    if (t >> 1) != (oriented_end >> 1):
+                        nb.append(ug.mean_abundance[t >> 1])
+            nb.append(ug.mean_abundance[b >> 1])
+            total += float(np.mean(nb)) if nb else 0.0
+        mean_neighbors = total / len(branching)
+        return mean_neighbors > cutoff * path_abundance
+
+    # ------------------------------------------------------------------
+    def remove_erroneous_connections(self) -> int:
+        """One EC pass (removeErroneousConnections,
+        Simplifications.cpp:1639-1850): short unitig connected on both
+        sides, with low relative coverage (RCTC cutoff 4)."""
+        k = self.k
+        live = self._live()
+        if not live.any():
+            return 0
+        limbs = self.graph.solid_limbs[live]
+        counts = self.graph.solid_counts[live]
+        us, ug = self._compact(limbs, counts)
+
+        deg = ug.out_degree_oriented()
+        deg_f = deg[0::2]
+        deg_r = deg[1::2]
+        lens = np.array([len(s) for s in ug.sequences])
+        max_ec = int(k * self.EC_LEN_KMULT)
+
+        cand = (deg_f >= 1) & (deg_r >= 1) & (lens <= max_ec)
+        is_ec = np.zeros(ug.nb_unitigs, bool)
+        for ui in np.nonzero(cand)[0]:
+            ab = float(ug.mean_abundance[ui])
+            if self._satisfy_rctc(ug, 2 * ui, ab, self.EC_RCTC_CUTOFF) and \
+                    self._satisfy_rctc(ug, 2 * ui + 1, ab,
+                                       self.EC_RCTC_CUTOFF):
+                is_ec[ui] = True
+
+        n_removed = int(is_ec.sum())
+        if n_removed:
+            self._delete_unitigs(ug, is_ec, us.node_unitig)
+        self.stats.ec_removed += n_removed
+        return n_removed
+
+    # ------------------------------------------------------------------
+    def remove_bulges(self) -> int:
+        """One bulge pass (removeBulges, Simplifications.cpp:1301-1630):
+        a short unitig whose endpoints are also connected by an
+        alternative, better-covered path."""
+        k = self.k
+        live = self._live()
+        if not live.any():
+            return 0
+        limbs = self.graph.solid_limbs[live]
+        counts = self.graph.solid_counts[live]
+        us, ug = self._compact(limbs, counts)
+
+        deg = ug.out_degree_oriented()
+        lens = np.array([len(s) for s in ug.sequences], np.int64)
+        max_bulge = max(int(k * self.BULGE_LEN_KMULT),
+                        k + self.BULGE_LEN_KADD)
+        backtrack = k + self.BULGE_ALTPATH_KADD
+
+        # candidate bulge: short unitig, single in/out links whose sources
+        # branch (the classic two-path bubble)
+        cand = (lens <= max_bulge) & (deg[0::2] == 1) & (deg[1::2] == 1)
+        is_bulge = np.zeros(ug.nb_unitigs, bool)
+        for ui in np.nonzero(cand)[0]:
+            # endpoints: pred (via reverse end) and succ (via forward end)
+            succ = ug.out_links(2 * ui)[0]
+            pred_rev = ug.out_links(2 * ui + 1)[0]
+            start = pred_rev ^ 1   # oriented unitig that enters ui forward
+            target = succ
+            # search an alternative path start -> target avoiding ui
+            alt_cov = self._best_alt_path_cov(
+                ug, start, target, avoid=ui,
+                max_depth=8, max_len=lens[ui] + backtrack)
+            if alt_cov is not None and \
+                    alt_cov * self.BULGE_ALTPATH_COVMULT \
+                    > float(ug.mean_abundance[ui]):
+                is_bulge[ui] = True
+
+        n_removed = int(is_bulge.sum())
+        if n_removed:
+            self._delete_unitigs(ug, is_bulge, us.node_unitig)
+        self.stats.bulges_removed += n_removed
+        return n_removed
+
+    def _best_alt_path_cov(self, ug: UnitigGraph, start: int, target: int,
+                           avoid: int, max_depth: int, max_len: int):
+        """Depth-bounded most-covered alternative path search
+        (heuristic_most_covered_path analogue, Simplifications.cpp:686-1300).
+        Returns the mean coverage of the best path, or None."""
+        best = [None]
+
+        def dfs(node, depth, length, covs):
+            if length > max_len or depth > max_depth:
+                return
+            for t in ug.out_links(node):
+                if (t >> 1) == avoid:
+                    continue
+                tlen = len(ug.sequences[t >> 1]) - (self.k - 1)
+                tcov = float(ug.mean_abundance[t >> 1])
+                if t == target:
+                    path_cov = float(np.mean(covs)) if covs else tcov
+                    if best[0] is None or path_cov > best[0]:
+                        best[0] = path_cov
+                    continue
+                dfs(t, depth + 1, length + tlen, covs + [tcov])
+
+        dfs(start, 0, 0, [])
+        return best[0]
+
+    # ------------------------------------------------------------------
+    def simplify(self, max_passes: int = 20) -> SimplifyStats:
+        """Full orchestration (Simplifications::simplify,
+        Simplifications.cpp:112-215): tip rounds, bulge rounds, EC rounds,
+        then mixed rounds until quiescence."""
+        nb_nodes = self.graph.nb_nodes
+        cutoff_events = max(nb_nodes // 10000, 1)
+
+        def loop(fn):
+            passes = 0
+            prev = -1
+            while passes < max_passes:
+                removed = fn()
+                self.stats.passes += 1
+                passes += 1
+                if removed == 0 or (passes > 2 and removed < cutoff_events):
+                    break
+                prev = removed
+            return prev
+
+        loop(self.remove_tips)
+        loop(self.remove_bulges)
+        loop(self.remove_erroneous_connections)
+        # mixed rounds
+        for _ in range(max_passes):
+            total = (self.remove_tips() + self.remove_bulges()
+                     + self.remove_erroneous_connections())
+            self.stats.passes += 3
+            if total < cutoff_events:
+                break
+        return self.stats

@@ -1,0 +1,360 @@
+"""Unitig construction: TPU-native BCALM2 equivalent.
+
+Reference: bcalm2/bcalm_algo.cpp (minimizer-bucket compaction) +
+bglue_algo.cpp (union-find glue across buckets) + LinkTigs.cpp (unitig
+links). Those structures exist to bound memory on a CPU; on TPU the whole
+solid-kmer set is HBM-resident, so unitig compaction is expressed as the
+classic parallel list-ranking problem:
+
+  1. oriented nodes: each canonical kmer i yields (i,+) and (i,-)
+  2. succ(u) = unique out-neighbor v of u with out-degree(u) == 1 and
+     in-degree(v) == 1 (the BCALM compactable-edge rule)
+  3. unitigs = maximal succ-chains; found by pointer doubling
+     (O(log chain-length) gather rounds — SURVEY §5.8's UF replacement)
+  4. cycles (isolated circular paths) are cut at their minimal oriented
+     node, matching the reference's deterministic circular handling
+     (bglue_algo.cpp:216-330 determine_order_sequences handles circular)
+  5. each unitig appears as two twin (RC) chains; the canonical
+     representative is kept
+
+Outputs unitig sequences, per-unitig kmer counts/mean abundance (the
+``km:f:`` FASTA annotation, bglue_algo.cpp output convention) and
+node->unitig position maps used for links and the unitig graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.kmer_ops import kmers_to_py
+from ..ops.neighbor_ops import neighbor_candidates, revcomp_limbs
+from ..collections.sortedset import _searchsorted_limbs
+from ..kmer.model import kmer_to_string
+
+I32 = jnp.int32
+
+
+@dataclass
+class UnitigSet:
+    """Compact unitig representation.
+
+    sequences: list of unitig strings (length >= k)
+    mean_abundance: (U,) float32 per-unitig mean kmer count
+    kmer_counts: (U,) int32 number of kmers per unitig
+    node_unitig: (N,) int32 unitig id of every solid kmer
+    node_pos: (N,) int32 position of the kmer within its unitig
+    node_strand: (N,) int8 0 if the kmer's canonical form appears forward
+                 in the unitig, 1 if reversed
+    """
+
+    sequences: list
+    mean_abundance: np.ndarray
+    kmer_counts: np.ndarray
+    node_unitig: np.ndarray
+    node_pos: np.ndarray
+    node_strand: np.ndarray
+
+    @property
+    def nb_unitigs(self) -> int:
+        return len(self.sequences)
+
+
+def _oriented_succ(adj: np.ndarray, cand_ranks: np.ndarray,
+                   cand_flip: np.ndarray) -> np.ndarray:
+    """Build the successor array over oriented nodes.
+
+    adj: (N,) uint8 adjacency masks (bits 0-3 out by nt, 4-7 in by nt)
+    cand_ranks: (N, 8) int32 rank of each neighbor candidate (-1 if absent)
+    cand_flip: (N, 8) int8 1 if the neighbor is entered in reverse strand
+    Returns succ: (2N,) int32 oriented successor or -1.
+
+    Oriented id: 2*i + s (s=0: canonical forward, s=1: reverse).
+    out-neighbors of (i,0) are adjacency bits 0-3 (candidate slots 0-3);
+    out-neighbors of (i,1) are the reverse strand's extensions, which are
+    the in-candidates with complemented nucleotide: slot 4 + (nt^2).
+    """
+    n = adj.shape[0]
+    out_bits = adj & 0x0F
+    in_bits = adj >> 4
+
+    def popcount(x):
+        x = (x & 0x55) + ((x >> 1) & 0x55)
+        x = (x & 0x33) + ((x >> 2) & 0x33)
+        return (x & 0x0F) + (x >> 4)
+
+    outdeg_f = popcount(out_bits)
+    outdeg_r = popcount(in_bits)
+
+    succ = np.full(2 * n, -1, np.int64)
+
+    # forward orientation: the unique out nt (when outdeg==1)
+    for nt in range(4):
+        sel = (outdeg_f == 1) & (out_bits == (1 << nt))
+        j = cand_ranks[sel, nt]
+        flip = cand_flip[sel, nt]
+        succ[2 * np.nonzero(sel)[0]] = 2 * j + flip
+    # reverse orientation: out-extension with nt == in-candidate slot nt^2,
+    # and the neighbor's strand is flipped relative to the candidate's
+    for nt in range(4):
+        slot = 4 + (nt ^ 2)
+        sel = (outdeg_r == 1) & (in_bits == (1 << (nt ^ 2)))
+        j = cand_ranks[sel, slot]
+        flip = cand_flip[sel, slot]
+        # entering via an in-candidate of the canonical form means the
+        # neighbor is traversed in the opposite sense of that candidate
+        succ[2 * np.nonzero(sel)[0] + 1] = 2 * j + (1 - flip)
+    return succ
+
+
+def _indegree_oriented(adj: np.ndarray) -> np.ndarray:
+    """True graph in-degree of every oriented node, from adjacency bits.
+
+    indeg of (i,+) = popcount(in bits); indeg of (i,-) = popcount(out bits)
+    (an in-edge of the reverse orientation is an out-edge of the forward).
+    """
+    def popcount(x):
+        x = (x & 0x55) + ((x >> 1) & 0x55)
+        x = (x & 0x33) + ((x >> 2) & 0x33)
+        return (x & 0x0F) + (x >> 4)
+
+    n = adj.shape[0]
+    deg = np.zeros(2 * n, np.int64)
+    deg[0::2] = popcount(adj >> 4)
+    deg[1::2] = popcount(adj & 0x0F)
+    return deg
+
+
+def _pointer_double(parent: np.ndarray):
+    """List ranking: returns (root, rank) after full pointer doubling.
+
+    parent[v] == v marks a head. Cycles must have been cut beforehand.
+    """
+    m = len(parent)
+    parent = jnp.asarray(parent, I32)
+    rank = jnp.where(parent == jnp.arange(m, dtype=I32), 0, 1).astype(I32)
+    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+
+    def body(_, state):
+        par, rk = state
+        rk = rk + rk[par]
+        par = par[par]
+        return par, rk
+
+    parent, rank = jax.lax.fori_loop(0, rounds, body, (parent, rank))
+    return np.asarray(parent), np.asarray(rank)
+
+
+def _cut_cycles(parent: np.ndarray) -> np.ndarray:
+    """Cut each pure cycle at its minimal member (deterministic)."""
+    m = len(parent)
+    par = jnp.asarray(parent, I32)
+    minid = jnp.arange(m, dtype=I32)
+    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+
+    def body(_, state):
+        par, mn = state
+        mn = jnp.minimum(mn, mn[par])
+        par = par[par]
+        return par, mn
+
+    roots, minid = jax.lax.fori_loop(0, rounds, body, (par, minid))
+    roots = np.asarray(roots)
+    minid = np.asarray(minid)
+    # a node is in a cycle iff its final root is not a head
+    is_head = parent == np.arange(m)
+    cyclic = ~is_head[roots]
+    cut = cyclic & (minid == np.arange(m))
+    out = parent.copy()
+    out[cut] = np.nonzero(cut)[0]
+    return out, cut
+
+
+def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
+                  adjacency: np.ndarray, k: int,
+                  chunk: int = 1 << 15) -> UnitigSet:
+    """Compact the solid-kmer graph into unitigs (bcalm2+bglue+links
+    equivalent, UnitigsConstructionAlgorithm.cpp:90-117)."""
+    n = len(solid_limbs)
+    if n == 0:
+        return UnitigSet([], np.zeros(0, np.float32), np.zeros(0, np.int32),
+                         np.zeros(0, np.int32), np.zeros(0, np.int32),
+                         np.zeros(0, np.int8))
+    w = solid_limbs.shape[1]
+    table = jnp.asarray(solid_limbs)
+
+    # --- neighbor ranks + strand flips for all nodes (chunked) ---------
+    cand_ranks = np.zeros((n, 8), np.int32)
+    cand_flip = np.zeros((n, 8), np.int8)
+    kernel = _cand_kernel(k, n, min(chunk, n))
+    csize = min(chunk, n)
+    for i in range(0, n, csize):
+        part = solid_limbs[i:i + csize]
+        npart = len(part)
+        if npart < csize:
+            part = np.concatenate(
+                [part, np.zeros((csize - npart, w), np.uint32)])
+        r, fl = kernel(jnp.asarray(part), table)
+        cand_ranks[i:i + npart] = np.asarray(r)[:npart]
+        cand_flip[i:i + npart] = np.asarray(fl)[:npart]
+
+    # --- oriented successor edges (BCALM rule) -------------------------
+    succ = _oriented_succ(adjacency, cand_ranks, cand_flip)
+    indeg = _indegree_oriented(adjacency)
+    # an edge u->v is a unitig edge only if indeg(v) == 1; also forbid
+    # u->v when v == twin(u) (immediate hairpin) and self-loops u->u
+    ids = np.arange(2 * n)
+    twin = ids ^ 1
+    tgt_ok = succ >= 0
+    bad = np.zeros(2 * n, bool)
+    bad[tgt_ok] = (indeg[succ[tgt_ok]] != 1) | (succ[tgt_ok] == ids[tgt_ok]) \
+        | (succ[tgt_ok] == twin[tgt_ok])
+    succ[bad] = -1
+
+    # parent = predecessor (towards unitig head): pred(v) = twin(succ(twin(v)))
+    succ_twin = succ[twin]
+    pred = np.where(succ_twin >= 0, succ_twin ^ 1, ids)
+    # symmetry check: pred(v)=u only if succ(u)=v (guaranteed by twin
+    # construction when succ is involutive under twinning; enforce anyway)
+    has_pred = pred != ids
+    pv = pred[has_pred]
+    ok = succ[pv] == ids[has_pred]
+    fix = np.nonzero(has_pred)[0][~ok]
+    pred[fix] = fix
+
+    pred, cycle_cut = _cut_cycles(pred)
+    roots, rank = _pointer_double(pred)
+
+    # --- chains + twin dedup ------------------------------------------
+    # chain id = root oriented node; the twin (RC) chain's root is the
+    # twin of this chain's tail. Keep one representative per twin pair.
+    uniq_roots, root_index, counts_per_chain = np.unique(
+        roots, return_inverse=True, return_counts=True)
+    chain_len = counts_per_chain[root_index]
+    is_tail = rank == chain_len - 1
+    twin_root_of = np.zeros(len(uniq_roots), np.int64)
+    twin_root_of[root_index[is_tail]] = twin[is_tail]
+    # chains cut from cycles: the twin chain is the twin cycle cut at the
+    # twin of OUR head (see _cut_cycles minima argument), not twin(tail)
+    cyclic_chain = cycle_cut[uniq_roots]
+    twin_root_of = np.where(cyclic_chain, twin[uniq_roots], twin_root_of)
+    keep_chain = uniq_roots <= twin_root_of
+
+    # --- per-node unitig assignment ------------------------------------
+    # kept chains get dense unitig ids
+    kept_ids = np.cumsum(keep_chain) - 1
+    node_or = ids  # oriented ids
+    chain_of_node = root_index  # index into uniq_roots
+    in_kept = keep_chain[chain_of_node]
+
+    node_unitig = np.full(n, -1, np.int32)
+    node_pos = np.zeros(n, np.int32)
+    node_strand = np.zeros(n, np.int8)
+    sel = in_kept
+    base_ids = node_or[sel] >> 1
+    node_unitig[base_ids] = kept_ids[chain_of_node[sel]]
+    node_pos[base_ids] = rank[sel]
+    node_strand[base_ids] = (node_or[sel] & 1).astype(np.int8)
+
+    # --- emit sequences -------------------------------------------------
+    nb_unitigs = int(keep_chain.sum())
+    lengths = counts_per_chain[keep_chain]
+    seqs = _emit_sequences(solid_limbs, k, node_unitig, node_pos,
+                           node_strand, nb_unitigs, lengths)
+
+    # --- abundance ------------------------------------------------------
+    kmer_counts = np.zeros(nb_unitigs, np.int64)
+    sum_ab = np.zeros(nb_unitigs, np.float64)
+    valid = node_unitig >= 0
+    np.add.at(kmer_counts, node_unitig[valid], 1)
+    np.add.at(sum_ab, node_unitig[valid], solid_counts[valid])
+    mean_ab = (sum_ab / np.maximum(kmer_counts, 1)).astype(np.float32)
+
+    return UnitigSet(seqs, mean_ab, kmer_counts.astype(np.int32),
+                     node_unitig, node_pos, node_strand)
+
+
+def _cand_kernel(k: int, n_table: int, chunk: int):
+    @jax.jit
+    def kernel(nodes, table):
+        cands = neighbor_candidates(nodes, k)   # (C, 8, W)
+        c, _, w = cands.shape
+        flat = cands.reshape(c * 8, w)
+        pos = _searchsorted_limbs(table, flat, n_table)
+        safe = jnp.minimum(pos, max(n_table - 1, 0))
+        found = jnp.all(table[safe] == flat, axis=-1) & (pos < n_table)
+        ranks = jnp.where(found, pos, -1).reshape(c, 8).astype(I32)
+        # strand of the neighbor: candidate equals its canonical form iff
+        # the extension's forward form == canonical; flip=1 otherwise.
+        # Out-candidates (slots 0-3): fwd ext = (f<<2)|nt — flip if
+        # canonical(ext) != fwd ext. In-candidates: fwd ext = (f>>2)|nt<<..
+        from ..ops.neighbor_ops import shl2_or, shr2_or_top, revcomp_limbs
+        f = nodes
+        r = revcomp_limbs(nodes, k)
+        flips = []
+        U32 = jnp.uint32
+        for nt in range(4):
+            cnt = jnp.full((c,), nt, U32)
+            fwd = shl2_or(f, cnt, k)
+            flips.append(jnp.any(fwd != cands[:, nt], axis=-1))
+        for nt in range(4):
+            cnt = jnp.full((c,), nt, U32)
+            fwd = shr2_or_top(f, cnt, k)
+            flips.append(jnp.any(fwd != cands[:, 4 + nt], axis=-1))
+        flip = jnp.stack(flips, axis=1).astype(jnp.int8)
+        return ranks, flip
+
+    return kernel
+
+
+def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
+                    nb_unitigs, lengths):
+    """Assemble unitig strings on host from per-node assignments.
+
+    Vectorized: the last character of each node's *oriented* kmer is
+    computed from the limb array directly (low 2 bits for forward strand,
+    complemented top 2 bits for reverse); only the U head kmers (pos==0)
+    need full decoding.
+    """
+    if nb_unitigs == 0:
+        return []
+    total_chars = int((lengths + k - 1).sum())
+    offsets = np.zeros(nb_unitigs + 1, np.int64)
+    offsets[1:] = np.cumsum(lengths + k - 1)
+    chars = np.zeros(total_chars, dtype=np.uint8)
+    nts = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+    valid = node_unitig >= 0
+    uids = node_unitig[valid]
+    poss = node_pos[valid]
+    strands = node_strand[valid]
+    limbs = solid_limbs[valid]
+
+    # last char of oriented kmer
+    low2 = (limbs[:, -1] & 3).astype(np.uint8)
+    bitpos = 2 * k - 2
+    jtop = limbs.shape[1] - 1 - bitpos // 32
+    top2 = ((limbs[:, jtop] >> (bitpos % 32)) & 3).astype(np.uint8)
+    last = np.where(strands == 0, low2, top2 ^ 2)
+
+    ext = poss > 0
+    chars[offsets[uids[ext]] + k - 1 + poss[ext]] = nts[last[ext]]
+
+    # heads: full oriented kmer decode
+    from ..kmer.model import revcomp as rc_py
+
+    head_sel = poss == 0
+    head_vals = kmers_to_py(limbs[head_sel])
+    for v, uid, s in zip(head_vals, uids[head_sel], strands[head_sel]):
+        ov = rc_py(v, k) if s else v
+        base = offsets[uid]
+        for i in range(k):
+            chars[base + i] = nts[(ov >> (2 * (k - 1 - i))) & 3]
+    out = []
+    buf = chars.tobytes()
+    for u in range(nb_unitigs):
+        out.append(buf[offsets[u]:offsets[u + 1]].decode("ascii"))
+    return out
