@@ -217,6 +217,40 @@ class BankSplitter(IBank):
         return sum(len(s.data) for s in self)
 
 
+class BankFastaWriter:
+    """FASTA/FASTQ writer (BankFasta's writer side, used by the reference
+    for unitig/glue outputs). Line-wraps FASTA at ``width`` chars."""
+
+    def __init__(self, path: str, width: int = 0):
+        self.path = path
+        self.width = width
+        self._f = gzip.open(path, "wt") if path.endswith(".gz") \
+            else open(path, "w")
+
+    def insert(self, seq: Sequence) -> None:
+        if seq.quality is not None:
+            self._f.write(f"@{seq.comment}\n{seq.data}\n+\n{seq.quality}\n")
+        else:
+            self._f.write(f">{seq.comment}\n")
+            if self.width:
+                for i in range(0, len(seq.data), self.width):
+                    self._f.write(seq.data[i:i + self.width] + "\n")
+            else:
+                self._f.write(seq.data + "\n")
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def open_bank(uri) -> IBank:
     """Bank registry: URI -> bank (gatb-core Bank::open, bank/impl/Bank.cpp:49-52).
 

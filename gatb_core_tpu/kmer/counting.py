@@ -258,3 +258,134 @@ def _merge_jit(kmers, counts, inv) -> CountTable:
 def count_kmers(bank, **kwargs) -> CountResult:
     """Convenience API: count kmers of a bank (URI, IBank, or list)."""
     return SortingCount(CountConfig(**kwargs)).execute(bank)
+
+
+# ---------------------------------------------------------------------------
+# Multi-bank counting + solidity kinds
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MultiBankCountResult:
+    """Multi-bank counting output (reference _multibank variants,
+    PartitionsCommand.cpp:1855-2100).
+
+    kmers: (N, W) sorted distinct kmers across all banks
+    counts_per_bank: (N, B) int32 per-bank abundances
+    counts_sum: (N,) total abundances
+    solid_mask: (N,) solidity by the configured kind
+    """
+
+    kmers: np.ndarray
+    counts_per_bank: np.ndarray
+    counts_sum: np.ndarray
+    solid_mask: np.ndarray
+    info: dict
+
+    @property
+    def solid_kmers(self) -> np.ndarray:
+        return self.kmers[self.solid_mask]
+
+    @property
+    def solid_counts(self) -> np.ndarray:
+        return self.counts_sum[self.solid_mask]
+
+
+def solidity_check(counts: np.ndarray, kind: str, thresholds,
+                   solid_vec=None) -> np.ndarray:
+    """Vectorized port of the CountProcessorSolidity checks
+    (kmer/impl/CountProcessorSolidity.hpp:177-311).
+
+    counts: (N, B) per-bank abundances; thresholds: list of (min, max)
+    per bank (a single pair is broadcast); solid_vec: presence pattern
+    for kind='custom'.
+    """
+    counts = np.asarray(counts)
+    n, b = counts.shape
+    if isinstance(thresholds, tuple):
+        thresholds = [thresholds]
+    if len(thresholds) == 1:
+        thresholds = thresholds * b
+    lo = np.asarray([t[0] for t in thresholds])
+    hi = np.asarray([t[1] for t in thresholds])
+    in_range = (counts >= lo[None, :]) & (counts <= hi[None, :])
+    total = counts.sum(axis=1)
+    if kind == "sum":
+        return (total >= thresholds[0][0]) & (total <= thresholds[0][1])
+    if kind == "max":
+        m = counts.max(axis=1)
+        return (m >= thresholds[0][0]) & (m <= thresholds[0][1])
+    if kind == "min":
+        m = counts.min(axis=1)
+        return (m >= thresholds[0][0]) & (m <= thresholds[0][1])
+    if kind == "all":
+        return in_range.all(axis=1)
+    if kind == "one":
+        return in_range.any(axis=1)
+    if kind == "custom":
+        if solid_vec is None:
+            raise ValueError("custom solidity needs solid_vec")
+        sv = np.asarray(solid_vec, bool)
+        return (in_range == sv[None, :]).all(axis=1)
+    raise ValueError(f"unknown solidity kind {kind!r}")
+
+
+def count_kmers_multibank(banks, kmer_size: int = 31,
+                          abundance_min=2, abundance_max=MAX_INT32,
+                          solidity_kind: str = "sum", solid_vec=None,
+                          **kwargs) -> MultiBankCountResult:
+    """Count each bank separately, join per-bank count columns, apply the
+    solidity kind. ``abundance_min``/``abundance_max`` may be scalars or
+    per-bank lists (reference custom thresholds)."""
+    from ..bank.fasta import open_bank
+
+    banks = [open_bank(b) for b in banks]
+    nb = len(banks)
+    results = [count_kmers(b, kmer_size=kmer_size, abundance_min=1,
+                           **kwargs) for b in banks]
+    w = nb_limbs(kmer_size)
+
+    # merge-join the per-bank sorted tables on host
+    all_k = np.concatenate([r.solid_kmers for r in results], axis=0)
+    uniq = np.unique(all_k, axis=0) if len(all_k) else all_k
+    # np.unique sorts rows lexicographically == integer order (BE limbs)
+    counts = np.zeros((len(uniq), nb), np.int32)
+    for j, r in enumerate(results):
+        if len(r.solid_kmers) == 0:
+            continue
+        # locate each bank kmer row in uniq (both sorted): searchsorted on
+        # a structured view
+        idx = _rows_searchsorted(uniq, r.solid_kmers)
+        counts[idx, j] = r.solid_counts
+
+    amin = abundance_min if isinstance(abundance_min, (list, tuple)) \
+        else [abundance_min]
+    amax = abundance_max if isinstance(abundance_max, (list, tuple)) \
+        else [abundance_max]
+    if len(amin) == 1:
+        amin = amin * nb
+    if len(amax) == 1:
+        amax = amax * nb
+    thresholds = list(zip(amin, amax))
+    solid = solidity_check(counts, solidity_kind, thresholds, solid_vec)
+
+    total = counts.sum(axis=1).astype(np.int64)
+    info = {
+        "kmers_nb_distinct": int(len(uniq)),
+        "kmers_nb_solid": int(solid.sum()),
+        "solidity_kind": solidity_kind,
+        "nb_banks": nb,
+    }
+    return MultiBankCountResult(uniq, counts, total, solid, info)
+
+
+def _rows_searchsorted(table: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Index of each query row in a row-sorted uint32 array (exact match)."""
+    def pack(a):
+        return np.ascontiguousarray(a).view(
+            [("", a.dtype)] * a.shape[1]).ravel()
+
+    t = pack(table)
+    q = pack(queries)
+    idx = np.searchsorted(t, q)
+    return idx
