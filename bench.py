@@ -68,7 +68,7 @@ def main():
     @jax.jit
     def batch_step(codes):
         kb = extract_kmers(codes, jvalid, jlengths, K, M)
-        t = count_batch(kb.kmers, kb.valid)
+        t = count_batch(kb.kmers, kb.valid, spare_bits=(2 * K) % 32 != 0)
         return t.kmers, t.counts, t.n
 
     # warmup/compile

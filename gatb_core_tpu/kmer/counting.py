@@ -163,7 +163,8 @@ class SortingCount:
             nonlocal kmers_nb_valid, kmers_nb_invalid
             kb = extract_kmers(jnp.asarray(codes), jnp.asarray(valid),
                                jnp.asarray(lengths), k, cfg.minimizer_size)
-            table = count_batch(kb.kmers, kb.valid)
+            table = count_batch(kb.kmers, kb.valid,
+                                spare_bits=(2 * k) % 32 != 0)
             nvalid = int(jnp.sum(kb.valid))
             inside = int(jnp.sum(jnp.maximum(
                 jnp.asarray(lengths) - (k - 1), 0)))

@@ -55,39 +55,6 @@ def lex_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
-def _shl2_add(limbs: jnp.ndarray, c: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(v << 2 | c) & kmer_mask over big-endian uint32 limbs.
-
-    limbs: (..., W) uint32; c: (...) uint32 with values 0..3.
-    """
-    w = limbs.shape[-1]
-    parts = []
-    for j in range(w):
-        hi = limbs[..., j] << 2
-        lo = limbs[..., j + 1] >> 30 if j + 1 < w else c.astype(U32)
-        parts.append(hi | lo)
-    out = jnp.stack(parts, axis=-1)
-    mask0 = U32(top_mask(k))
-    out = out.at[..., 0].set(out[..., 0] & mask0)
-    return out
-
-
-def _shr2_insert(limbs: jnp.ndarray, rc: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(r >> 2) | rc << (2k-2) over big-endian uint32 limbs."""
-    w = limbs.shape[-1]
-    parts = []
-    for j in range(w):
-        lo = limbs[..., j] >> 2
-        hi = limbs[..., j - 1] << 30 if j > 0 else jnp.zeros_like(lo)
-        parts.append(hi | lo)
-    out = jnp.stack(parts, axis=-1)
-    bitpos = 2 * k - 2
-    jins = w - 1 - bitpos // 32
-    off = bitpos % 32
-    out = out.at[..., jins].set(out[..., jins] | (rc.astype(U32) << off))
-    return out
-
-
 class KmerBatch(NamedTuple):
     """Extracted canonical k-mers for a padded batch of reads.
 
@@ -111,31 +78,20 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     codes:   (B, L) uint8/int 2-bit codes (padding may be any value)
     valid:   (B, L) bool per-character validity (padding must be False)
     lengths: (B,) int32 true read lengths
+
+    Fully parallel (no sequential scan): codes are packed 16-per-uint32,
+    and each window's limbs are funnel-shifted out of the packed stream,
+    grouped by the 16 possible bit offsets. Reverse complements come from
+    the vectorized revcomp of the forward limbs. O(1) depth — maps onto
+    the VPU with no loop-carried dependency, and compiles to a small HLO
+    (the old scan unrolled L steps).
     """
     B, L = codes.shape
     if L < k:
         raise ValueError(f"padded length {L} < k={k}")
-    w = nb_limbs(k)
-    codes = codes.astype(U32)
     P = L - k + 1
-
-    # --- rolling fwd/rev scan over sequence positions ------------------
-    def step(carry, c):
-        fwd, rev = carry
-        fwd = _shl2_add(fwd, c, k)
-        rev = _shr2_insert(rev, c ^ U32(2), k)
-        return (fwd, rev), (fwd, rev)
-
-    # Derive the zero init from the input so it inherits any shard_map
-    # varying-manual-axes (vma) tag; a literal zeros() carry fails to
-    # typecheck against the varying scan outputs inside shard_map.
-    zero = jnp.zeros((B, w), U32) + (codes[:, 0:1] & U32(0))
-    init = (zero, zero)
-    _, (fwds, revs) = jax.lax.scan(step, init, jnp.moveaxis(codes, 1, 0))
-    # fwds: (L, B, W) — window ending at position t corresponds to kmer t-k+1
-    fwds = jnp.moveaxis(fwds[k - 1:], 0, 1)  # (B, P, W)
-    revs = jnp.moveaxis(revs[k - 1:], 0, 1)
-
+    fwds = _window_limbs(codes, k)  # (B, P, W)
+    revs = revcomp_limbs_(fwds, k)
     canon = jnp.where(lex_lt(fwds, revs)[..., None], fwds, revs)
 
     # --- validity: all k chars valid and window inside read ------------
@@ -151,6 +107,68 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     minim = _minimizers(codes, k, m)  # (B, P)
 
     return KmerBatch(canon, kvalid, minim)
+
+
+def _window_limbs(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Forward k-mer limbs for every window position, scan-free.
+
+    Packs codes 16-per-uint32 (first code in the MSBs), then extracts each
+    limb as 32 bits at stream offset ``2*i + 2k - 32*(W-j)`` via funnel
+    shifts, vectorized over the 16 offset classes of window positions.
+    """
+    B, L = codes.shape
+    w = nb_limbs(k)
+    P = L - k + 1
+    # number of 16-code words needed, padded so every extract stays in range
+    nq_out = (P + 15) // 16
+    n_words = (L + 15) // 16 + w + 1
+    pad = n_words * 16 - L
+    c = codes.astype(U32)
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((B, pad), U32)], axis=1)
+    cw = c.reshape(B, n_words, 16)
+    shifts = (30 - 2 * jnp.arange(16, dtype=U32))[None, None, :]
+    pw = jnp.sum(cw << shifts, axis=2, dtype=U32)  # (B, n_words)
+
+    def extract32(word_idx_base: int, bit: int, nq: int):
+        """32 bits at stream offset 32*word_idx_base + bit for nq starts."""
+        a = pw[:, word_idx_base:word_idx_base + nq]
+        if bit == 0:
+            return a
+        b = pw[:, word_idx_base + 1:word_idx_base + 1 + nq]
+        return (a << bit) | (b >> (32 - bit))
+
+    top_bits = 2 * k - 32 * (w - 1)  # significant bits in limb 0 (1..32)
+    mask0 = U32(top_mask(k))
+    per_offset = []  # o -> (nq, W) limbs
+    for o in range(16):
+        limbs_o = []
+        for j in range(w):
+            # stream offset of limb j for window start i=16q+o:
+            #   2i + 2k - 32*(w - j)  (negative part masked for j=0)
+            off = 2 * o + 2 * k - 32 * (w - j)
+            if off >= 0:
+                wi, bit = off // 32, off % 32
+                e = extract32(wi, bit, nq_out)
+            else:
+                # limb 0 with 2k < 32w: take bits starting at 2o, shifted
+                # right so the value is right-aligned in the limb
+                wi, bit = (2 * o) // 32, (2 * o) % 32
+                e = extract32(wi, bit, nq_out) >> (32 - top_bits)
+            if j == 0:
+                e = e & mask0
+            limbs_o.append(e)
+        per_offset.append(jnp.stack(limbs_o, axis=-1))  # (B, nq, W)
+    # interleave: arr[b, q, o, w] -> position 16q + o
+    allw = jnp.stack(per_offset, axis=2)  # (B, nq, 16, W)
+    allw = allw.reshape(B, nq_out * 16, w)
+    return allw[:, :P]
+
+
+def revcomp_limbs_(limbs: jnp.ndarray, k: int) -> jnp.ndarray:
+    from .neighbor_ops import revcomp_limbs as _rc
+
+    return _rc(limbs, k)
 
 
 def _minimizers(codes: jnp.ndarray, k: int, m: int) -> jnp.ndarray:

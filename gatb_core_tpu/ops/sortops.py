@@ -94,11 +94,27 @@ def count_sorted(sorted_kmers: jnp.ndarray, inv: jnp.ndarray,
     return CountTable(uniq, counts, n)
 
 
-@functools.partial(jax.jit)
-def count_batch(kmers: jnp.ndarray, valid: jnp.ndarray) -> CountTable:
-    """Flatten, sort, and reduce one extracted batch into a CountTable."""
+@functools.partial(jax.jit, static_argnames=("spare_bits",))
+def count_batch(kmers: jnp.ndarray, valid: jnp.ndarray,
+                spare_bits: bool = False) -> CountTable:
+    """Flatten, sort, and reduce one extracted batch into a CountTable.
+
+    With ``spare_bits=True`` (top limb has unused high bits, i.e.
+    2k % 32 != 0), invalid rows are encoded as the all-ones sentinel —
+    which no valid kmer can equal — and the sort drops the extra
+    validity key, cutting one u32 key from the bitonic sort.
+    """
     flat = kmers.reshape(-1, kmers.shape[-1])
     inv = ~valid.reshape(-1)
+    if spare_bits:
+        flat = jnp.where(inv[:, None], U32(0xFFFFFFFF), flat)
+        w = flat.shape[1]
+        out = jax.lax.sort(tuple(flat[:, j] for j in range(w)), num_keys=w)
+        sk = jnp.stack(out, axis=-1)
+        n_valid = jnp.sum(valid)
+        idx = jax.lax.broadcasted_iota(I32, (flat.shape[0],), 0)
+        si = idx >= n_valid
+        return count_sorted(sk, si)
     sk, si = sort_by_kmer(flat, inv)
     return count_sorted(sk, si)
 
