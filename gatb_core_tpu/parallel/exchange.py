@@ -36,14 +36,19 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def partition_of_minimizer(minim: jnp.ndarray, n_parts: int) -> jnp.ndarray:
+def partition_of_minimizer(minim: jnp.ndarray, n_parts: int,
+                           repart_table: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
     """Minimizer -> partition id.
 
-    Reference uses a greedy load-balancing Repartitor table
-    (kmer/impl/PartiInfo.cpp:48-106); partitioning only affects balance,
-    never results. Round-1 policy: multiplicative hash then modulo, which
-    spreads the skewed (banned-AA) minimizer distribution adequately.
+    With a Repartitor table (kmer/repartition.py — the reference's greedy
+    load-balanced assignment, PartiInfo.cpp:48-106) this is a gather;
+    otherwise a multiplicative hash spreads the skewed (banned-AA)
+    minimizer distribution adequately. Partitioning only affects balance,
+    never results.
     """
+    if repart_table is not None:
+        return repart_table[minim.astype(jnp.int32)].astype(I32)
     h = (minim.astype(U32) * U32(0x9E3779B1)) >> 16
     return (h % U32(n_parts)).astype(I32)
 
@@ -65,14 +70,25 @@ def _local_count(kmers: jnp.ndarray, invalid: jnp.ndarray) -> CountTable:
     return count_sorted(sk, si)
 
 
-def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0):
+def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0,
+                    repartitor=None):
     """Build the jitted multi-chip counting step over ``mesh``.
 
     Returns fn(codes, valid, lengths) where arrays are global with leading
     batch dim sharded over the data axis; output is a ShardCount whose
-    arrays keep the device dimension sharded.
+    arrays keep the device dimension sharded. ``repartitor`` (optional,
+    kmer/repartition.Repartitor) supplies the load-balanced minimizer ->
+    partition table, replicated to every device.
     """
     ndev = mesh.shape[DATA_AXIS]
+    repart_table = None
+    if repartitor is not None:
+        import numpy as _np
+
+        if repartitor.nb_partitions != ndev:
+            raise ValueError("repartitor partitions != mesh size")
+        repart_table = jnp.asarray(
+            _np.asarray(repartitor.table, _np.int32))
 
     def step(codes, valid, lengths):
         # codes: (b, L) local shard
@@ -84,7 +100,8 @@ def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0):
         cap = int(capacity_factor * n / ndev) if ndev > 1 else n
         cap = max(cap, 1)
 
-        pid = partition_of_minimizer(kb.minimizer.reshape(-1), ndev)
+        pid = partition_of_minimizer(kb.minimizer.reshape(-1), ndev,
+                                     repart_table)
         # invalid kmers: route nowhere (pid ndev -> dropped from sends)
         pid = jnp.where(flat_v, pid, ndev)
 

@@ -75,3 +75,29 @@ def test_overflow_is_exact():
     exp = count_kmers_py(seqs, k)
     got = dict(zip(kmers_to_py(gk), gc.tolist()))
     assert got == exp
+
+
+def test_sharded_count_with_repartitor():
+    """Exchange with the greedy load-balanced repartition table."""
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from gatb_core_tpu.kmer.repartition import build_repartitor
+    from gatb_core_tpu.bank.fasta import BankStrings
+
+    rng = np.random.default_rng(11)
+    k, m = 21, 8
+    B, L = 32, 96
+    seqs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(k, L))))
+            for _ in range(B)]
+    rep = build_repartitor(BankStrings(*seqs), kmer_size=k, nb_partitions=ndev,
+                           minimizer_size=m, batch_reads=8, batch_len=128)
+    codes, valid, lengths = _batch(seqs, B, L)
+    mesh = make_mesh(ndev)
+    step = make_count_step(mesh, k, m, repartitor=rep)
+    shards = step(jnp.asarray(codes), jnp.asarray(valid),
+                  jnp.asarray(lengths))
+    gk, gc = global_table(shards, ndev)
+    exp = count_kmers_py(seqs, k)
+    got = dict(zip(kmers_to_py(gk), gc.tolist()))
+    assert got == exp
