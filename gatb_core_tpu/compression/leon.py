@@ -1,0 +1,348 @@
+"""Leon-style reference-free read compressor.
+
+Capability port of gatb-core's Leon (tools/compression/Leon.cpp,
+DnaCoder.cpp, HeaderCoder.cpp): lossless FASTA/FASTQ compression built on
+
+  - a k-mer dictionary from a counting pass over the reads themselves
+    (Leon uses DSK solid kmers; same here via kmer/counting)
+  - DNA coding as anchor kmer + per-base graph-prediction corrections
+    (DnaCoder: reads stored as anchor + corrections); bases where the
+    dictionary predicts a unique extension cost ~0 bits
+  - header coding as shared-prefix diff vs the previous header
+  - an order-0 adaptive range coder for every stream (bit-exact port of
+    Leon's coder in range_coder.py)
+  - qualities (FASTQ) range-coded losslessly
+
+The container format is this engine's own (magic GTBL1); the reference's
+.leon container is not byte-compatible (it serializes internal bloom
+state), but the compression scheme and guarantees (lossless round trip)
+match. Compression/decompression verified by round-trip tests on the
+reference's bundled leon1.fastq fixture.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from .range_coder import Order0Model, RangeEncoder, RangeDecoder
+from ..bank.fasta import open_bank, Sequence
+from ..kmer.model import (
+    ModelCanonical, canonical, revcomp, string_to_kmer, kmer_to_string,
+    char_code,
+)
+
+MAGIC = b"GTBL1\0"
+NUCLEOTIDES = "ACTG"
+
+
+@dataclass
+class _Models:
+    """Adaptive models for the streams."""
+
+    def __init__(self):
+        self.header_prefix = Order0Model(256)
+        self.header_char = Order0Model(256)
+        self.header_len = Order0Model(256)
+        self.read_len = Order0Model(256)
+        self.has_anchor = Order0Model(2)
+        self.anchor_pos = Order0Model(256)
+        self.anchor_byte = Order0Model(256)
+        self.match = Order0Model(2)
+        self.nt = Order0Model(4)
+        self.nt_raw = Order0Model(5)  # ACTG + N
+        self.qual = Order0Model(256)
+
+
+def _encode_int(enc, model, value: int, nbytes: int = 4):
+    for i in range(nbytes):
+        enc.encode(model, (value >> (8 * (nbytes - 1 - i))) & 0xFF)
+
+
+def _decode_int(dec, model, nbytes: int = 4) -> int:
+    v = 0
+    for _ in range(nbytes):
+        v = (v << 8) | dec.next_byte(model)
+    return v
+
+
+class LeonCompressor:
+    """Compressor driver (Leon::executeCompression equivalent)."""
+
+    def __init__(self, kmer_size: int = 31, abundance_min: int = 2):
+        self.k = kmer_size
+        self.abundance_min = abundance_min
+
+    def compress(self, bank_uri, out_path: str) -> dict:
+        from ..kmer.counting import count_kmers
+        from ..ops.kmer_ops import kmers_to_py
+
+        bank = open_bank(bank_uri)
+        seqs = list(bank)
+        is_fastq = any(s.quality is not None for s in seqs)
+
+        # --- kmer dictionary (anchor dict, Leon's DSK pass) -----------
+        res = count_kmers(bank, kmer_size=self.k,
+                          abundance_min=self.abundance_min)
+        dict_vals = kmers_to_py(res.solid_kmers)
+        dict_set = {v: i for i, v in enumerate(dict_vals)}
+
+        models = _Models()
+        enc = RangeEncoder()
+        k = self.k
+        mask = (1 << (2 * k)) - 1
+
+        prev_header = ""
+        for seq in seqs:
+            self._encode_header(enc, models, seq.comment, prev_header)
+            prev_header = seq.comment
+            self._encode_dna(enc, models, seq.data, dict_set, dict_vals)
+            if is_fastq:
+                q = seq.quality or ""
+                for ch in q:
+                    enc.encode(models.qual, ord(ch))
+        enc.flush()
+        payload = enc.get_buffer()
+
+        with open(out_path, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<BIIQ", 1 if is_fastq else 0, self.k,
+                                len(seqs), len(dict_vals)))
+            # dictionary: sorted kmer values, delta-encoded varints
+            prev = 0
+            dbuf = bytearray()
+            for v in dict_vals:
+                delta = v - prev
+                prev = v
+                while True:
+                    b = delta & 0x7F
+                    delta >>= 7
+                    dbuf.append(b | (0x80 if delta else 0))
+                    if not delta:
+                        break
+            f.write(struct.pack("<Q", len(dbuf)))
+            f.write(bytes(dbuf))
+            f.write(struct.pack("<Q", len(payload)))
+            f.write(payload)
+        return {"nb_reads": len(seqs), "dict_size": len(dict_vals),
+                "compressed_bytes": 6 + 17 + 16 + len(dbuf) + len(payload),
+                "dict_bytes": len(dbuf), "payload_bytes": len(payload)}
+
+    # -- header coding (HeaderCoder: diff vs previous header) -----------
+    def _encode_header(self, enc, models, header: str, prev: str):
+        common = 0
+        for a, b in zip(header, prev):
+            if a != b:
+                break
+            common += 1
+        common = min(common, 255)
+        enc.encode(models.header_prefix, common)
+        suffix = header[common:]
+        _encode_int(enc, models.header_len, len(suffix), 2)
+        for ch in suffix:
+            enc.encode(models.header_char, ord(ch) & 0xFF)
+
+    # -- dna coding (DnaCoder: anchor + prediction corrections) ---------
+    def _encode_dna(self, enc, models, data: str, dict_set, dict_vals):
+        k = self.k
+        _encode_int(enc, models.read_len, len(data), 4)
+        codes = [char_code(c) for c in data]
+        all_valid = all(ok for _, ok in codes)
+
+        anchor_pos = -1
+        anchor_rank = -1
+        if all_valid and len(data) >= k:
+            model = ModelCanonical(k)
+            for pos, (v, ok) in enumerate(model.iter_kmers(data)):
+                if ok and v in dict_set:
+                    anchor_pos = pos
+                    anchor_rank = dict_set[v]
+                    break
+
+        if anchor_pos < 0:
+            enc.encode(models.has_anchor, 0)
+            # raw-encode all characters (incl. N) with the 5-symbol model
+            for c, ok in codes:
+                enc.encode(models.nt_raw, c if ok else 4)
+            return
+
+        enc.encode(models.has_anchor, 1)
+        _encode_int(enc, models.anchor_pos, anchor_pos, 4)
+        _encode_int(enc, models.anchor_byte, anchor_rank, 4)
+        # strand bit: whether the read's forward kmer IS the canonical
+        # form stored in the dictionary (decoder needs it to reconstruct)
+        anchor_fwd = string_to_kmer(data[anchor_pos:anchor_pos + k])
+        enc.encode(models.match,
+                   1 if anchor_fwd == dict_vals[anchor_rank] else 0)
+        # rightward from anchor end: predict next base by unique dict
+        # extension; encode match bit (+ base on mismatch)
+        self._encode_extension(
+            enc, models, codes, anchor_fwd,
+            range(anchor_pos + k, len(data)), dict_set, right=True)
+        # leftward from anchor start (predict backwards)
+        self._encode_extension(
+            enc, models, codes, anchor_fwd,
+            range(anchor_pos - 1, -1, -1), dict_set, right=False)
+
+    def _predict(self, cur_fwd: int, dict_set, right: bool):
+        """Unique dictionary extension of the current kmer, or -1."""
+        k = self.k
+        mask = (1 << (2 * k)) - 1
+        found = -1
+        for nt in range(4):
+            if right:
+                cand = ((cur_fwd << 2) | nt) & mask
+            else:
+                cand = (cur_fwd >> 2) | (nt << (2 * (k - 1)))
+            if canonical(cand, k) in dict_set:
+                if found >= 0:
+                    return -1  # ambiguous
+                found = nt
+        return found
+
+    def _encode_extension(self, enc, models, codes, anchor_fwd, positions,
+                          dict_set, right: bool):
+        k = self.k
+        mask = (1 << (2 * k)) - 1
+        cur = anchor_fwd
+        for pos in positions:
+            c, ok = codes[pos]
+            pred = self._predict(cur, dict_set, right) if ok else -2
+            if ok and pred == c:
+                enc.encode(models.match, 1)
+            else:
+                enc.encode(models.match, 0)
+                enc.encode(models.nt_raw, c if ok else 4)
+            if ok:
+                if right:
+                    cur = ((cur << 2) | c) & mask
+                else:
+                    cur = (cur >> 2) | (c << (2 * (k - 1)))
+            else:
+                # invalid char resets prediction context to dead state;
+                # nothing to update — keep cur (predictions will mismatch)
+                pass
+
+
+class LeonDecompressor:
+    """Decompressor driver (Leon::executeDecompression equivalent)."""
+
+    def decompress(self, in_path: str, out_path: str | None = None):
+        with open(in_path, "rb") as f:
+            magic = f.read(6)
+            if magic != MAGIC:
+                raise ValueError("not a gatb_core_tpu leon file")
+            is_fastq, k, nb_reads, dict_n = struct.unpack("<BIIQ",
+                                                          f.read(17))
+            (dlen,) = struct.unpack("<Q", f.read(8))
+            dbuf = f.read(dlen)
+            (plen,) = struct.unpack("<Q", f.read(8))
+            payload = f.read(plen)
+
+        # decode dictionary varints
+        dict_vals = []
+        prev = 0
+        pos = 0
+        for _ in range(dict_n):
+            shift = 0
+            delta = 0
+            while True:
+                b = dbuf[pos]
+                pos += 1
+                delta |= (b & 0x7F) << shift
+                shift += 7
+                if not (b & 0x80):
+                    break
+            prev += delta
+            dict_vals.append(prev)
+        dict_set = {v: i for i, v in enumerate(dict_vals)}
+
+        models = _Models()
+        dec = RangeDecoder(payload)
+        comp = LeonCompressor(kmer_size=k)
+        sequences = []
+        prev_header = ""
+        for _ in range(nb_reads):
+            header = self._decode_header(dec, models, prev_header)
+            prev_header = header
+            data = self._decode_dna(dec, models, k, dict_vals, dict_set,
+                                    comp)
+            quality = None
+            if is_fastq:
+                quality = "".join(chr(dec.next_byte(models.qual))
+                                  for _ in range(len(data)))
+            sequences.append(Sequence(header, data, quality))
+
+        if out_path:
+            from ..bank.fasta import BankFastaWriter
+
+            with BankFastaWriter(out_path) as wr:
+                for s in sequences:
+                    wr.insert(s)
+        return sequences
+
+    def _decode_header(self, dec, models, prev: str) -> str:
+        common = dec.next_byte(models.header_prefix)
+        slen = _decode_int(dec, models.header_len, 2)
+        suffix = "".join(chr(dec.next_byte(models.header_char))
+                         for _ in range(slen))
+        return prev[:common] + suffix
+
+    def _decode_dna(self, dec, models, k, dict_vals, dict_set, comp) -> str:
+        n = _decode_int(dec, models.read_len, 4)
+        has_anchor = dec.next_byte(models.has_anchor)
+        if not has_anchor:
+            return "".join("ACTGN"[dec.next_byte(models.nt_raw)]
+                           for _ in range(n))
+        anchor_pos = _decode_int(dec, models.anchor_pos, 4)
+        anchor_rank = _decode_int(dec, models.anchor_byte, 4)
+        anchor_canon = dict_vals[anchor_rank]
+
+        # The anchor was stored as the rank of its canonical value; the
+        # read may contain either strand. Try forward = canonical first;
+        # if the right/left decode is inconsistent it does not matter for
+        # correctness: the encoder used the read's actual forward value,
+        # which equals canonical or its revcomp. We must disambiguate —
+        # encode strand explicitly would cost 1 bit; instead reconstruct
+        # both and pick the one matching the corrections. Simpler and
+        # robust: the encoder always re-derives predictions from the
+        # read's forward kmer, so we store the strand bit.
+        strand = dec.next_byte(models.match)
+        anchor_fwd = anchor_canon if strand == 1 \
+            else revcomp(anchor_canon, k)
+
+        out = [None] * n
+        astr = kmer_to_string(anchor_fwd, k)
+        for i, ch in enumerate(astr):
+            out[anchor_pos + i] = ch
+
+        mask = (1 << (2 * k)) - 1
+        cur = anchor_fwd
+        for pos in range(anchor_pos + k, n):
+            match = dec.next_byte(models.match)
+            if match:
+                c = comp._predict(cur, dict_set, True)
+                ch = NUCLEOTIDES[c]
+            else:
+                c5 = dec.next_byte(models.nt_raw)
+                ch = "ACTGN"[c5]
+                c = c5 if c5 < 4 else 0
+            out[pos] = ch
+            if ch != "N":
+                cur = ((cur << 2) | c) & mask
+        cur = anchor_fwd
+        for pos in range(anchor_pos - 1, -1, -1):
+            match = dec.next_byte(models.match)
+            if match:
+                c = comp._predict(cur, dict_set, False)
+                ch = NUCLEOTIDES[c]
+            else:
+                c5 = dec.next_byte(models.nt_raw)
+                ch = "ACTGN"[c5]
+                c = c5 if c5 < 4 else 0
+            out[pos] = ch
+            if ch != "N":
+                cur = (cur >> 2) | (c << (2 * (k - 1)))
+        return "".join(out)
