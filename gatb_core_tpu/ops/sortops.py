@@ -133,6 +133,34 @@ def merge_tables(a: CountTable, b: CountTable) -> CountTable:
     return count_sorted(sk, si, weights=sc)
 
 
+@functools.partial(jax.jit, static_argnames=("spare_bits",))
+def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
+                  spare_bits: bool = False) -> CountTable:
+    """Merge stacked per-batch tables fully on device.
+
+    kmers: (NB, C, W) per-batch sorted tables (padding rows all-ones),
+    counts: (NB, C). One global sort + segment reduce; nothing round-trips
+    to the host (the host transfer of partial tables was the end-to-end
+    bottleneck through remote-attached TPUs).
+    """
+    w = kmers.shape[-1]
+    flat_k = kmers.reshape(-1, w)
+    flat_c = counts.reshape(-1).astype(I32)
+    live = flat_c > 0
+    if spare_bits:
+        flat_k = jnp.where(live[:, None], flat_k, U32(0xFFFFFFFF))
+        out = jax.lax.sort(tuple(flat_k[:, j] for j in range(w))
+                           + (flat_c,), num_keys=w)
+        sk = jnp.stack(out[:w], axis=-1)
+        sc = out[w]
+        n_valid = jnp.sum(live)
+        idx = jax.lax.broadcasted_iota(I32, (flat_k.shape[0],), 0)
+        si = idx >= n_valid
+    else:
+        sk, si, sc = sort_by_kmer(flat_k, ~live, flat_c)
+    return count_sorted(sk, si, weights=sc)
+
+
 def shrink(table: CountTable, capacity: int) -> CountTable:
     """Host-side: shrink/grow a table to the given capacity (>= n)."""
     import numpy as np

@@ -1,0 +1,107 @@
+"""Tests for IterativeExtensions, BankBinary, TimeInfo/Progress,
+properties, enums."""
+
+import numpy as np
+import pytest
+
+from gatb_core_tpu.bank.fasta import BankStrings, BankFasta
+from gatb_core_tpu.bank.binary import BankBinary, convert_bank
+from gatb_core_tpu.debruijn.graph import Graph
+from gatb_core_tpu.debruijn.iterative_extensions import IterativeExtensions
+from gatb_core_tpu.misc.properties import Properties
+from gatb_core_tpu.misc.time_info import TimeInfo
+from gatb_core_tpu.misc.enums import (
+    BloomKind, KmerSolidityKind, parse_enum, STR_KMER_SIZE,
+)
+
+
+def _rand(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+class TestIterativeExtensions:
+    def test_extend_linear(self):
+        k = 15
+        rng = np.random.default_rng(1)
+        genome = _rand(rng, 200)
+        reads = [genome[i:i + 60] for i in range(0, 140, 7)]
+        graph = Graph.create(BankStrings(*reads), kmer_size=k,
+                             abundance_min=1, batch_reads=32, batch_len=128,
+                             build_branching=False)
+        seed = genome[:k]
+        res = IterativeExtensions(graph).extend(seed)
+        # extends to the end of the covered region
+        assert res.sequence.startswith(seed)
+        assert genome.startswith(res.sequence[:len(genome)]) or \
+            len(res.sequence) > k
+        assert res.nb_nucleotides > 100
+
+    def test_extend_to_target(self):
+        k = 15
+        rng = np.random.default_rng(2)
+        genome = _rand(rng, 150)
+        reads = [genome[i:i + 60] for i in range(0, 90, 5)]
+        graph = Graph.create(BankStrings(*reads), kmer_size=k,
+                             abundance_min=1, batch_reads=32, batch_len=128,
+                             build_branching=False)
+        res = IterativeExtensions(graph).extend(
+            genome[:k], target=genome[50:50 + k])
+        assert res.reached_target
+        assert res.sequence == genome[:50 + k]
+
+    def test_seed_not_in_graph(self):
+        k = 15
+        graph = Graph.create(BankStrings("ACGGTCATCAATGCCGT"), kmer_size=k,
+                             abundance_min=1, batch_reads=4, batch_len=64,
+                             build_branching=False)
+        res = IterativeExtensions(graph).extend("T" * k)
+        assert res.sequence == "T" * k
+        assert res.nb_nucleotides == 0
+
+
+class TestBankBinary:
+    def test_roundtrip(self, tmp_path, test_db):
+        src = BankFasta(f"{test_db}/reads1.fa")
+        out = str(tmp_path / "b.bin")
+        n = convert_bank(src, out)
+        back = list(BankBinary(out))
+        orig = list(src)
+        assert len(back) == n == len(orig) == 100
+        for got, exp in zip(back, orig):
+            assert got.data == exp.data.upper()
+
+    def test_n_becomes_a(self, tmp_path):
+        out = str(tmp_path / "c.bin")
+        convert_bank(BankStrings("ACGNACGT"), out)
+        assert list(BankBinary(out))[0].data == "ACGAACGT"
+
+
+class TestMisc:
+    def test_properties_check(self):
+        p = Properties()
+        p.add(0, "root")
+        p.add(1, "kmer_size", 31)
+        p.add(1, "nb", 42)
+        assert p.get("kmer_size") == "31"
+        errors = p.check_against({"kmer_size": "31", "nb": "42"})
+        assert errors == []
+        errors = p.check_against({"kmer_size": "21", "missing": "1"})
+        assert len(errors) == 2
+        assert "<kmer_size>31</kmer_size>" in p.dump_xml()
+
+    def test_time_info(self):
+        ti = TimeInfo()
+        with ti.section("phase1"):
+            pass
+        with ti.section("phase1"):
+            pass
+        props = ti.get_properties()
+        assert "time.phase1" in props
+
+    def test_enums(self):
+        assert BloomKind.default() is BloomKind.CACHE
+        assert KmerSolidityKind.default() is KmerSolidityKind.SUM
+        assert parse_enum(BloomKind, "neighbor") is BloomKind.NEIGHBOR
+        with pytest.raises(ValueError):
+            parse_enum(BloomKind, "bogus")
+        assert STR_KMER_SIZE == "-kmer-size"
