@@ -1,0 +1,189 @@
+"""Container layer leftovers: hash tables and file-backed bags.
+
+Host-side equivalents of the reference's remaining collection types
+(tools/collections/impl): OAHash (open addressing, OAHash.hpp:48-230),
+Hash16 (chained block hash with counts + sorted iteration,
+Hash16.hpp:50-343), BagFile/BagCache (file-backed bag with write-behind
+buffer, BagFile.hpp/BagCache.hpp), IteratorFile (binary file iterator,
+IteratorFile.hpp) and ContainerSet (sorted-vector membership,
+ContainerSet.hpp:51 — the device-resident twin is
+collections.sortedset.SortedKmerSet).
+
+In this engine the counting kernel is sort-based on device, so these
+hash tables serve the auxiliary roles the reference uses them for
+(debloom partitioning fallbacks, small exact sets) rather than the hot
+counting loop. OAHash reproduces the reference's oahash64 probe
+sequence.
+"""
+
+from __future__ import annotations
+
+import struct
+from bisect import bisect_left
+from typing import Iterator
+
+import numpy as np
+
+
+class OAHash:
+    """Open-addressing hash with linear probing over oahash64
+    (OAHash.hpp:48-230): insert-or-increment semantics, bounded size."""
+
+    def __init__(self, max_items: int):
+        self.capacity = max(8, int(max_items * 1.33))
+        self.keys = np.full(self.capacity, -1, np.int64)
+        self.values = np.zeros(self.capacity, np.int32)
+        self.nb_items = 0
+
+    @staticmethod
+    def _oahash64(key: int) -> int:
+        M = (1 << 64) - 1
+        code = key & M
+        code ^= code >> 14
+        code = ((~code) + (code << 18)) & M
+        code ^= code >> 31
+        code = (code * 21) & M
+        code ^= code >> 11
+        code = (code + (code << 6)) & M
+        code ^= code >> 22
+        return code
+
+    def _slot(self, key: int) -> int:
+        idx = self._oahash64(key) % self.capacity
+        for _ in range(self.capacity):
+            k = self.keys[idx]
+            if k == -1 or k == key:
+                return idx
+            idx = (idx + 1) % self.capacity
+        raise RuntimeError("OAHash: max rehashes reached (table full)")
+
+    def increment(self, key: int, delta: int = 1) -> None:
+        idx = self._slot(key)
+        if self.keys[idx] == -1:
+            self.keys[idx] = key
+            self.nb_items += 1
+        self.values[idx] += delta
+
+    def get(self, key: int, default=None):
+        idx = self._slot(key)
+        if self.keys[idx] == -1:
+            return default
+        return int(self.values[idx])
+
+    def __contains__(self, key: int) -> bool:
+        return self.get(key) is not None
+
+    def items(self) -> Iterator[tuple[int, int]]:
+        for k, v in zip(self.keys, self.values):
+            if k != -1:
+                yield int(k), int(v)
+
+
+class Hash16:
+    """Insert/increment hash with *sorted* iteration (Hash16.hpp:50-343:
+    chained block-allocated table; iteration sorts — matched here)."""
+
+    def __init__(self, max_memory_mb: int = 0):
+        self._d: dict[int, int] = {}
+
+    def insert(self, key: int, delta: int = 1) -> None:
+        self._d[key] = self._d.get(key, 0) + delta
+
+    def get(self, key: int, default=0) -> int:
+        return self._d.get(key, default)
+
+    @property
+    def nb_items(self) -> int:
+        return len(self._d)
+
+    def sorted_items(self) -> Iterator[tuple[int, int]]:
+        for k in sorted(self._d):
+            yield k, self._d[k]
+
+    def clear(self) -> None:
+        self._d.clear()
+
+
+class ContainerSet:
+    """Sorted-vector membership via binary search (ContainerSet.hpp:51).
+    Host twin of collections.sortedset.SortedKmerSet."""
+
+    def __init__(self, values):
+        self.values = sorted(values)
+
+    def contains(self, value) -> bool:
+        i = bisect_left(self.values, value)
+        return i < len(self.values) and self.values[i] == value
+
+    def __contains__(self, value) -> bool:
+        return self.contains(value)
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+
+class BagFile:
+    """File-backed bag of fixed-size records (BagFile.hpp). Records are
+    little-endian int64 (the reference templates over item type; kmer
+    values wider than 64 bits use multiple records per item)."""
+
+    FMT = "<q"
+
+    def __init__(self, path: str, mode: str = "wb"):
+        self.path = path
+        self._f = open(path, mode)
+
+    def insert(self, value: int) -> None:
+        self._f.write(struct.pack(self.FMT, value))
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BagCache:
+    """Write-behind cache in front of a bag (BagCache.hpp: N-item buffer
+    flushed in one block; the reference adds a mutex for concurrent
+    producers, unnecessary under the GIL single-producer pattern)."""
+
+    def __init__(self, bag: BagFile, cache_size: int = 16 * 1024):
+        self.bag = bag
+        self.cache_size = cache_size
+        self._buf: list[int] = []
+
+    def insert(self, value: int) -> None:
+        self._buf.append(value)
+        if len(self._buf) >= self.cache_size:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            data = b"".join(struct.pack(BagFile.FMT, v) for v in self._buf)
+            self.bag._f.write(data)
+            self._buf.clear()
+        self.bag.flush()
+
+
+class IteratorFile:
+    """Binary file iterator over BagFile records (IteratorFile.hpp)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __iter__(self) -> Iterator[int]:
+        size = struct.calcsize(BagFile.FMT)
+        with open(self.path, "rb") as f:
+            while True:
+                chunk = f.read(size * 4096)
+                if not chunk:
+                    return
+                for (v,) in struct.iter_unpack(BagFile.FMT, chunk):
+                    yield v

@@ -57,6 +57,107 @@ class UnitigGraph:
             return seq.translate(comp)[::-1]
         return seq
 
+    # ---- reference GraphUnitigs query API (GraphUnitigs.hpp:269-300) --
+    def unitig_mean_abundance(self, u: int) -> float:
+        return float(self.mean_abundance[u])
+
+    def simple_path_avance(self, oriented: int):
+        """One step along the unitig graph: the unique out-link if it is
+        unambiguous on both sides (simplePathAvance), else None."""
+        links = self.out_links(oriented)
+        if len(links) != 1:
+            return None
+        t = int(links[0])
+        back = self.out_links(t ^ 1)
+        if len(back) != 1:
+            return None
+        return t
+
+    def simple_path_longest(self, oriented: int) -> list[int]:
+        """Longest unambiguous oriented-unitig chain from ``oriented``
+        (simplePathLongest_avance): list of oriented unitig ids."""
+        chain = [oriented]
+        seen = {oriented >> 1}
+        cur = oriented
+        while True:
+            nxt = self.simple_path_avance(cur)
+            if nxt is None or (nxt >> 1) in seen:
+                break
+            chain.append(nxt)
+            seen.add(nxt >> 1)
+            cur = nxt
+        return chain
+
+    def path_sequence(self, chain: list[int]) -> str:
+        """Spell the sequence of an oriented-unitig chain (k-1 overlaps)."""
+        if not chain:
+            return ""
+        seq = self.sequence_oriented(chain[0])
+        for t in chain[1:]:
+            seq += self.sequence_oriented(t)[self.k - 1:]
+        return seq
+
+    # ---- GFA I/O (GraphUnitigs.cpp:669 loads GFA; writer added) -------
+    def write_gfa(self, path: str) -> None:
+        """GFA 1.0: S records with KC/km tags + L records with k-1 CIGAR
+        overlaps."""
+        with open(path, "w") as f:
+            f.write("H\tVN:Z:1.0\n")
+            for u, seq in enumerate(self.sequences):
+                f.write(f"S\t{u}\t{seq}\tLN:i:{len(seq)}\t"
+                        f"km:f:{self.mean_abundance[u]:.1f}\n")
+            seen = set()
+            for u in range(self.nb_unitigs):
+                for s in (0, 1):
+                    for t in self.out_links(2 * u + s):
+                        key = (2 * u + s, int(t))
+                        rkey = (int(t) ^ 1, (2 * u + s) ^ 1)
+                        if rkey in seen:
+                            continue
+                        seen.add(key)
+                        f.write(f"L\t{u}\t{'+' if s == 0 else '-'}\t"
+                                f"{int(t) >> 1}\t"
+                                f"{'+' if (int(t) & 1) == 0 else '-'}\t"
+                                f"{self.k - 1}M\n")
+
+    @classmethod
+    def load_gfa(cls, path: str, k: int) -> "UnitigGraph":
+        """Load a GFA 1.0 unitig graph (GraphUnitigs GFA load path)."""
+        seqs: list[str] = []
+        abund: list[float] = []
+        links: list[tuple[int, int]] = []
+        ids: dict[str, int] = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if parts[0] == "S":
+                    ids[parts[1]] = len(seqs)
+                    seqs.append(parts[2])
+                    km = 0.0
+                    for tag in parts[3:]:
+                        if tag.startswith("km:f:"):
+                            km = float(tag[5:])
+                    abund.append(km)
+        with open(path) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if parts[0] == "L":
+                    a = 2 * ids[parts[1]] + (0 if parts[2] == "+" else 1)
+                    b = 2 * ids[parts[3]] + (0 if parts[4] == "+" else 1)
+                    links.append((a, b))
+                    links.append((b ^ 1, a ^ 1))
+        u_count = len(seqs)
+        links = sorted(set(links))
+        src = np.asarray([a for a, _ in links], np.int64)
+        dst = np.asarray([b for _, b in links], np.int64)
+        offsets = np.zeros(2 * u_count + 1, np.int64)
+        np.add.at(offsets, src + 1, 1)
+        offsets = np.cumsum(offsets)
+        counts = np.asarray([max(1, len(s) - k + 1) for s in seqs],
+                            np.int32)
+        return cls(k, seqs, np.asarray(abund, np.float32), counts,
+                   offsets, dst)
+
     # GFA-ish dump (unitigs + L records), BCALM2-compatible headers
     def write_fasta(self, path: str) -> None:
         """Unitig FASTA with LN:i:, km:f: and L: link headers — the

@@ -176,3 +176,39 @@ def test_unitigs_single_kmer():
     us = build_unitigs(graph.solid_limbs, graph.solid_counts, adj, k)
     assert us.nb_unitigs == 1
     assert canon_seq(us.sequences[0]) == canon_seq(seq)
+
+
+def test_unitig_graph_api_and_gfa(tmp_path):
+    """GraphUnitigs-style query API + GFA round trip."""
+    import numpy as np
+    from gatb_core_tpu.debruijn.graph_unitigs import (
+        build_unitig_graph, UnitigGraph,
+    )
+
+    k = 11
+    rng = np.random.default_rng(12)
+    genome = "".join(rng.choice(list("ACGT"), size=200))
+    stem = genome[:80]
+    b1 = stem[-(k - 1):] + ("A" if genome[80] != "A" else "C") + genome[100:140]
+    seqs = [genome[:120], b1]
+    graph = Graph.create(BankStrings(*seqs), kmer_size=k, abundance_min=1,
+                         batch_reads=8, batch_len=256, build_branching=False)
+    adj = graph.precompute_adjacency()
+    ug = build_unitig_graph(graph.solid_limbs, graph.solid_counts, adj, k)
+    assert ug.nb_unitigs >= 3
+
+    # query API
+    assert ug.unitig_mean_abundance(0) >= 1.0
+    chain = ug.simple_path_longest(0)
+    assert chain[0] == 0
+    seq = ug.path_sequence(chain)
+    assert len(seq) >= len(ug.sequences[0])
+
+    # GFA round trip
+    gfa = str(tmp_path / "u.gfa")
+    ug.write_gfa(gfa)
+    ug2 = UnitigGraph.load_gfa(gfa, k)
+    assert ug2.nb_unitigs == ug.nb_unitigs
+    assert sorted(ug2.sequences) == sorted(ug.sequences)
+    assert sum(len(ug2.out_links(i)) for i in range(2 * ug2.nb_unitigs)) == \
+        sum(len(ug.out_links(i)) for i in range(2 * ug.nb_unitigs))
