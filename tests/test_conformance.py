@@ -35,6 +35,42 @@ GOLDEN_READS1_K63_A2 = {
     "checksum_branching": "b3ebca47e4682ee3.3fdb6572fb6e8445",
 }
 
+GOLDEN_READS1_K95_A1 = {
+    "kmers_nb_valid": 85215,
+    "kmers_nb_distinct": 82509,
+    "kmers_nb_solid": 82509,
+    "kmers_nb_weak": 0,
+    "nb_branching": 239,
+    "checksum_branching":
+        "39594f031d350ada.7f627645472c88f0.9949f1148e076725",
+}
+
+GOLDEN_READS1_K127_A1 = {
+    "kmers_nb_valid": 82015,
+    "kmers_nb_distinct": 79781,
+    "kmers_nb_solid": 79781,
+    "nb_branching": 220,
+    "checksum_branching": "b9e67d4435e050e.66d4dd190f971975."
+                          "eb7dd4323bae8d93.eb861be547b64b5b",
+}
+
+GOLDEN_SAMPLE_FASTQ_K21_A1 = {
+    "kmers_nb_valid": 101,
+    "kmers_nb_distinct": 101,
+    "kmers_nb_solid": 101,
+    "nb_branching": 11,
+    "checksum_branching": "89603aca8e3",
+}
+
+GOLDEN_MULTI_K31_A2 = {
+    "kmers_nb_valid": 519811,
+    "kmers_nb_distinct": 499496,
+    "kmers_nb_solid": 16925,
+    "kmers_nb_weak": 482571,
+    "nb_branching": 307,
+    "checksum_branching": "89556d06fd469514",
+}
+
 GOLDEN_READS3_K21_A2 = {
     "kmers_nb_valid": 4926295,
     "kmers_nb_distinct": 3971739,
@@ -61,6 +97,30 @@ def test_reads1_k63_vs_reference_binary(test_db):
     graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=63,
                          abundance_min=2)
     _check(graph, GOLDEN_READS1_K63_A2)
+
+
+def test_reads1_k95_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=95,
+                         abundance_min=1)
+    _check(graph, GOLDEN_READS1_K95_A1)
+
+
+def test_reads1_k127_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=127,
+                         abundance_min=1, batch_len=512)
+    _check(graph, GOLDEN_READS1_K127_A1)
+
+
+def test_sample_fastq_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/sample.fastq", kmer_size=21,
+                         abundance_min=1)
+    _check(graph, GOLDEN_SAMPLE_FASTQ_K21_A1)
+
+
+def test_multifile_vs_reference_binary(test_db):
+    graph = Graph.create(f"{test_db}/reads1.fa,{test_db}/reads2.fa",
+                         kmer_size=31, abundance_min=2)
+    _check(graph, GOLDEN_MULTI_K31_A2)
 
 
 @pytest.mark.skipif(not os.environ.get("GATB_TPU_SLOW_TESTS"),
