@@ -190,6 +190,48 @@ class BankAlbum(BankComposite):
         super().__init__(banks)
 
 
+class BankRandom(IBank):
+    """Random sequence generator bank (gatb-core BankRandom.hpp)."""
+
+    def __init__(self, nb_sequences: int, length: int, seed: int = 0):
+        self.nb = nb_sequences
+        self.length = length
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Sequence]:
+        rng = np.random.default_rng(self.seed)
+        nts = np.frombuffer(b"ACTG", dtype=np.uint8)
+        for i in range(self.nb):
+            data = nts[rng.integers(0, 4, self.length)].tobytes() \
+                .decode("ascii")
+            yield Sequence(f"random_{i}", data, None, i)
+
+    def get_size(self) -> int:
+        return self.nb * self.length
+
+
+class BankLeon(IBank):
+    """Bank over a Leon-compressed file (gatb-core BankLeon registry
+    entry, bank/impl/Bank.cpp:51): decompresses lazily on iteration."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._cache = None
+
+    def _load(self):
+        if self._cache is None:
+            from ..compression.leon import LeonDecompressor
+
+            self._cache = LeonDecompressor().decompress(self.path)
+        return self._cache
+
+    def __iter__(self) -> Iterator[Sequence]:
+        return iter(self._load())
+
+    def get_size(self) -> int:
+        return sum(len(s) for s in self._load())
+
+
 class BankSplitter(IBank):
     """Splits a read of a reference sequence into overlapping reads
     (gatb-core BankSplitter.hpp — used to synthesize read sets in tests)."""
@@ -261,6 +303,8 @@ def open_bank(uri) -> IBank:
     if isinstance(uri, (list, tuple)):
         return BankComposite([open_bank(u) for u in uri])
     first = uri.split(",")[0]
+    if first.endswith(".leon"):
+        return BankLeon(first)
     if first.endswith(".txt") and os.path.exists(first):
         with open(first) as f:
             head = f.read(256).lstrip()

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compare info against a reference .props file")
     p.add_argument("-check-dump", dest="check_dump", default=None,
                    help="write info in .props format to this file")
+    p.add_argument("-kff", dest="kff", action="store_true",
+                   help="also output kmers in kff format")
+    p.add_argument("-solidity-kind", dest="solidity_kind", default="sum",
+                   choices=["sum", "min", "max", "one", "all", "custom"])
     p.add_argument("-verbose", dest="verbose", type=int, default=1)
     return p
 
@@ -55,6 +59,13 @@ def main(argv=None) -> int:
         minimizer_size=args.minimizer_size, output=out,
         histo_max=args.histo_max)
     elapsed = time.time() - t0
+
+    if args.kff:
+        from ..storage.kff import write_kff
+
+        kff_path = args.input.split(",")[0].rsplit("/", 1)[-1] + ".kff"
+        write_kff(kff_path, graph.solid_limbs, graph.solid_counts,
+                  args.kmer_size)
 
     props = Properties()
     props.add(0, "dbgh5")

@@ -105,3 +105,48 @@ class TestMisc:
         with pytest.raises(ValueError):
             parse_enum(BloomKind, "bogus")
         assert STR_KMER_SIZE == "-kmer-size"
+
+
+class TestLeonBank:
+    def test_leon_cli_and_bank(self, test_db, tmp_path):
+        """leon CLI round trip + .leon file readable as a bank."""
+        import subprocess, sys, os
+
+        src = f"{test_db}/leon1.fastq"
+        out = str(tmp_path / "l.leon")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.abspath(
+                       os.path.join(os.path.dirname(__file__), "..")))
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "gatb_core_tpu.tools.leon", "-c",
+             "-file", src, "-kmer-size", "21", "-abundance", "1",
+             "-out", out], capture_output=True, text=True, env=env,
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        dec = str(tmp_path / "l.fastq")
+        r = subprocess.run(
+            [sys.executable, "-m", "gatb_core_tpu.tools.leon", "-d",
+             "-file", out, "-out", dec], capture_output=True, text=True,
+            env=env, timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        orig = [(s.comment, s.data, s.quality) for s in BankFasta(src)]
+        back = [(s.comment, s.data, s.quality) for s in BankFasta(dec)]
+        assert back == orig
+
+        # .leon readable through the bank registry
+        from gatb_core_tpu.bank.fasta import open_bank, BankLeon
+        bank = open_bank(out)
+        assert isinstance(bank, BankLeon)
+        assert [s.data for s in bank] == [d for _, d, _ in orig]
+
+    def test_bank_random(self):
+        from gatb_core_tpu.bank.fasta import BankRandom
+        bank = BankRandom(5, 40, seed=1)
+        seqs = list(bank)
+        assert len(seqs) == 5
+        assert all(len(s.data) == 40 for s in seqs)
+        assert set("".join(s.data for s in seqs)) <= set("ACGT")
+        # deterministic
+        assert [s.data for s in BankRandom(5, 40, seed=1)] == \
+            [s.data for s in seqs]
