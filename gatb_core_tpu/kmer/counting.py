@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..bank.fasta import IBank, open_bank
 from ..ops.bitpack import ascii_to_codes_np
 from ..ops.kmer_ops import extract_kmers, nb_limbs, py_to_limbs, kmers_to_py
-from ..ops.sortops import CountTable, count_batch, sort_by_kmer, count_sorted
+from ..ops.sortops import (CountTable, count_batch, sort_by_kmer,
+                           count_sorted, merge_stacked)
 from .histogram import Histogram
 
 MAX_INT32 = 2**31 - 1
@@ -152,27 +153,24 @@ class SortingCount:
         t0 = time.time()
 
         builder = _BatchBuilder(k, cfg.batch_reads, cfg.batch_len)
-        partial_kmers: list[np.ndarray] = []
-        partial_counts: list[np.ndarray] = []
+        # device-resident partial tables grouped by capacity (shape);
+        # nothing round-trips to the host until the final merge
+        device_partials: dict[int, list] = {}
+        valid_scalars: list = []
+        inside_scalars: list = []
         nb_seq = 0
         seq_total_size = 0
-        kmers_nb_valid = 0
-        kmers_nb_invalid = 0
+        spare = (2 * k) % 32 != 0
 
         def process(codes, valid, lengths, rows):
-            nonlocal kmers_nb_valid, kmers_nb_invalid
             kb = extract_kmers(jnp.asarray(codes), jnp.asarray(valid),
                                jnp.asarray(lengths), k, cfg.minimizer_size)
-            table = count_batch(kb.kmers, kb.valid,
-                                spare_bits=(2 * k) % 32 != 0)
-            nvalid = int(jnp.sum(kb.valid))
-            inside = int(jnp.sum(jnp.maximum(
+            table = count_batch(kb.kmers, kb.valid, spare_bits=spare)
+            valid_scalars.append(jnp.sum(kb.valid))
+            inside_scalars.append(jnp.sum(jnp.maximum(
                 jnp.asarray(lengths) - (k - 1), 0)))
-            kmers_nb_valid += nvalid
-            kmers_nb_invalid += inside - nvalid
-            n = int(table.n)
-            partial_kmers.append(np.asarray(table.kmers[:n]))
-            partial_counts.append(np.asarray(table.counts[:n]))
+            device_partials.setdefault(table.capacity, []).append(
+                (table.kmers, table.counts))
 
         for seq in bank:
             nb_seq += 1
@@ -183,15 +181,35 @@ class SortingCount:
             process(*builder.flush())
         t_fill = time.time() - t0
 
-        # ---- global merge: one sorted reduce over all partial tables -----
+        # ---- global merge on device per capacity group --------------------
         t1 = time.time()
-        if partial_kmers:
-            all_k = np.concatenate(partial_kmers, axis=0)
-            all_c = np.concatenate(partial_counts, axis=0)
+        group_k: list[np.ndarray] = []
+        group_c: list[np.ndarray] = []
+        MERGE_GROUP = 32  # bound HBM for the stacked merge
+        for cap, tables in device_partials.items():
+            for i in range(0, len(tables), MERGE_GROUP):
+                part = tables[i:i + MERGE_GROUP]
+                ks = jnp.stack([t[0] for t in part])
+                cs = jnp.stack([t[1] for t in part])
+                merged = merge_stacked(ks, cs, spare_bits=spare)
+                n = int(merged.n)
+                group_k.append(np.asarray(merged.kmers[:n]))
+                group_c.append(np.asarray(merged.counts[:n]))
+        if group_k:
+            all_k = np.concatenate(group_k, axis=0)
+            all_c = np.concatenate(group_c, axis=0)
         else:
             all_k = np.zeros((0, w), np.uint32)
             all_c = np.zeros((0,), np.int32)
-        uniq, counts = _global_merge(all_k, all_c, w)
+        if len(group_k) > 1 or len(device_partials) > 1:
+            uniq, counts = _global_merge(all_k, all_c, w)
+        else:
+            uniq, counts = all_k, all_c
+        kmers_nb_valid = int(sum(int(np.asarray(v))
+                                 for v in valid_scalars))
+        kmers_nb_invalid = int(sum(int(np.asarray(v))
+                                   for v in inside_scalars)) \
+            - kmers_nb_valid
         t_merge = time.time() - t1
 
         # Note: overlap-split pieces can double-count boundary kmers only if
