@@ -106,24 +106,38 @@ class ModelCanonical:
 
 @dataclass
 class ModelMinimizer:
-    """Canonical model + lexicographic ('banned-AA') minimizers."""
+    """Canonical model + minimizers: lexicographic ('banned-AA') by
+    default, or frequency-ordered when ``freq_order`` is given
+    (ComparatorMinimizerFrequencyOrLex)."""
 
     k: int
     m: int = 10
+    freq_order: object = None  # optional (4^m,) rank array
 
     def minimizer(self, kmer_fwd: int) -> int:
         """Minimizer value of a kmer given its *forward* value.
 
         Equals min over all m-mer windows of the forward strand of
-        mmer_lut_value (the LUT already folds in revcomp of each m-mer).
+        mmer_lut_value (the LUT already folds in revcomp of each m-mer);
+        in freq mode the comparator is (rank, value) and nothing is
+        banned.
         """
         k, m = self.k, self.m
-        best = (1 << (2 * m)) - 1
-        mm_mask = best
+        mm_mask = (1 << (2 * m)) - 1
+        if self.freq_order is None:
+            best = mm_mask
+            for j in range(k - m + 1):
+                mm = (kmer_fwd >> (2 * (k - m - j))) & mm_mask
+                best = min(best, mmer_lut_value(mm, m))
+            return best
+        best = None
         for j in range(k - m + 1):
             mm = (kmer_fwd >> (2 * (k - m - j))) & mm_mask
-            best = min(best, mmer_lut_value(mm, m))
-        return best
+            canon = min(mm, revcomp(mm, m))
+            key = (int(self.freq_order[canon]), canon)
+            if best is None or key < best:
+                best = key
+        return best[1]
 
     def iter_kmers(self, seq: str):
         """Yield (canonical_value, valid, minimizer_value)."""

@@ -118,3 +118,69 @@ def build_repartitor(bank, kmer_size: int, nb_partitions: int,
     sizes = census_minimizers(bank, kmer_size, minimizer_size, **kwargs)
     table = compute_distrib(sizes, nb_partitions)
     return Repartitor(table, nb_partitions, minimizer_size)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-ordered minimizers (minimizer-type 1)
+# ---------------------------------------------------------------------------
+
+
+def census_mmers(bank, minimizer_size: int, max_sample_seqs: int = 50_000,
+                 batch: int = 256) -> np.ndarray:
+    """Canonical m-mer frequency census over a bank sample
+    (MmersFrequency functor, RepartitionAlgorithm.cpp:92-126)."""
+    from ..bank.fasta import open_bank
+    from ..ops.bitpack import ascii_to_codes_np
+    from ..kmer.model import revcomp
+
+    m = minimizer_size
+    rg = 1 << (2 * m)
+    counts = np.zeros(rg, np.uint32)
+    bank = open_bank(bank)
+    n_seqs = 0
+    for seq in bank:
+        n_seqs += 1
+        if n_seqs > max_sample_seqs:
+            break
+        codes, valid = ascii_to_codes_np(
+            np.frombuffer(seq.data.encode("ascii"), np.uint8))
+        n = len(codes)
+        if n < m:
+            continue
+        # vectorized m-mer values + window validity
+        mm = np.zeros(n - m + 1, np.uint64)
+        for i in range(m):
+            mm = (mm << np.uint64(2)) | codes[i:i + n - m + 1] \
+                .astype(np.uint64)
+        vcum = np.concatenate([[0], np.cumsum(~valid)])
+        ok = (vcum[m:] - vcum[:-m]) == 0
+        mm = mm[ok].astype(np.int64)
+        if len(mm) == 0:
+            continue
+        # canonicalize
+        from ..ops.bitpack import revcomp_u32
+        import jax.numpy as jnp
+
+        rc = np.asarray(revcomp_u32(jnp.asarray(mm.astype(np.uint32)), m))
+        canon = np.minimum(mm.astype(np.uint32), rc)
+        counts += np.bincount(canon, minlength=rg)[:rg].astype(np.uint32)
+    return counts
+
+
+def freq_order_from_counts(counts: np.ndarray) -> np.ndarray:
+    """Frequency ranks, exact port of computeFrequencies
+    (RepartitionAlgorithm.cpp:360-384): seen mmers ranked by ascending
+    (count, value); unseen set to 4^m; the largest mmer pinned to rank
+    4^m - 1 (the 'largest value' sentinel)."""
+    rg = len(counts)
+    seen = np.nonzero(counts > 0)[0]
+    order = np.lexsort((seen, counts[seen]))
+    freq = np.full(rg, rg, np.uint32)
+    freq[seen[order]] = np.arange(len(seen), dtype=np.uint32)
+    freq[rg - 1] = rg - 1
+    return freq
+
+
+def build_freq_order(bank, minimizer_size: int = 10, **kwargs) -> np.ndarray:
+    return freq_order_from_counts(
+        census_mmers(bank, minimizer_size, **kwargs))

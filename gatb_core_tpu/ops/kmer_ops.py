@@ -72,7 +72,8 @@ class KmerBatch(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("k", "m"))
 def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
-                  k: int, m: int = 10) -> KmerBatch:
+                  k: int, m: int = 10,
+                  freq_order: jnp.ndarray | None = None) -> KmerBatch:
     """Extract canonical k-mers + minimizers from a padded code batch.
 
     codes:   (B, L) uint8/int 2-bit codes (padding may be any value)
@@ -104,7 +105,7 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     kvalid = (window_bad == 0) & inside
 
     # --- minimizers ----------------------------------------------------
-    minim = _minimizers(codes, k, m)  # (B, P)
+    minim = _minimizers(codes, k, m, freq_order)  # (B, P)
 
     return KmerBatch(canon, kvalid, minim)
 
@@ -171,8 +172,15 @@ def revcomp_limbs_(limbs: jnp.ndarray, k: int) -> jnp.ndarray:
     return _rc(limbs, k)
 
 
-def _minimizers(codes: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
-    """Per-kmer minimizer values (windowed min of LUT-mapped m-mers)."""
+def _minimizers(codes: jnp.ndarray, k: int, m: int,
+                freq_order: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-kmer minimizer values (windowed min of LUT-mapped m-mers).
+
+    With ``freq_order`` ((4^m,) uint32 frequency ranks), minimizers are
+    chosen by (rank, value) order and the banned-AA rule is disabled
+    (ComparatorMinimizerFrequencyOrLex, Model.hpp:911-980: every
+    minimizer is allowed in freq mode).
+    """
     B, L = codes.shape
     P = L - k + 1
     nmm = L - m + 1
@@ -183,14 +191,25 @@ def _minimizers(codes: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
     # LUT semantics (Model.hpp:1040-1065): canonicalize then ban.
     rc = revcomp_u32(mm, m)
     canon = jnp.minimum(mm, rc)
-    mask_m = U32((1 << (2 * m)) - 1)
-    lutv = jnp.where(mmer_allowed(canon, m), canon, mask_m)
-    # windowed min over the k-m+1 m-mers of each k-mer window
     nwin = k - m + 1
-    out = lutv[:, 0:P]
+    if freq_order is None:
+        mask_m = U32((1 << (2 * m)) - 1)
+        lutv = jnp.where(mmer_allowed(canon, m), canon, mask_m)
+        # windowed min over the k-m+1 m-mers of each k-mer window
+        out = lutv[:, 0:P]
+        for i in range(1, nwin):
+            out = jnp.minimum(out, lutv[:, i:i + P])
+        return out
+    ranks = freq_order[canon.astype(jnp.int32)].astype(U32)
+    best_r = ranks[:, 0:P]
+    best_v = canon[:, 0:P]
     for i in range(1, nwin):
-        out = jnp.minimum(out, lutv[:, i:i + P])
-    return out
+        r = ranks[:, i:i + P]
+        v = canon[:, i:i + P]
+        better = (r < best_r) | ((r == best_r) & (v < best_v))
+        best_r = jnp.where(better, r, best_r)
+        best_v = jnp.where(better, v, best_v)
+    return best_v
 
 
 def kmers_to_py(limbs) -> list[int]:

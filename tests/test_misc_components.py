@@ -150,3 +150,35 @@ class TestLeonBank:
         # deterministic
         assert [s.data for s in BankRandom(5, 40, seed=1)] == \
             [s.data for s in seqs]
+
+
+class TestTopologyAndHistogram2D:
+    def test_histogram2d(self):
+        from gatb_core_tpu.kmer.histogram import Histogram2D
+        h = Histogram2D(max_value=10)
+        counts = np.array([[1, 2], [1, 2], [3, 0], [50, 4]])
+        h.add_counts(counts)
+        assert h.bins[1, 2] == 2
+        assert h.bins[3, 0] == 1
+        assert h.bins[10, 4] == 1  # clamped
+        h2 = Histogram2D(max_value=10)
+        h2.add_counts(np.array([[1, 2]]))
+        h.merge(h2)
+        assert h.bins[1, 2] == 3
+
+    def test_dbgtopology_cli(self, test_db, tmp_path):
+        import subprocess, sys, os
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.abspath(
+                       os.path.join(os.path.dirname(__file__), "..")))
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "gatb_core_tpu.tools.dbgtopology",
+             "-in", f"{test_db}/reads1.fa", "-kmer-size", "31",
+             "-abundance-min", "3"], capture_output=True, text=True,
+            env=env, timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "nodes: 623" in r.stdout
+        # branching count must match the conformance golden (24)
+        assert "branching (in!=1 or out!=1): 24" in r.stdout
