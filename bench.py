@@ -82,9 +82,9 @@ def main():
         # remote-execution cache (see BASELINE.md measurement notes).
         all_codes = (all_codes + salt) & 3
         pk, pc = jax.lax.map(batch_step, all_codes)
-        from gatb_core_tpu.ops.sortops import merge_stacked
+        from gatb_core_tpu.ops.sortops import merge_stacked_tree
 
-        t = merge_stacked(pk, pc, spare_bits=spare)
+        t = merge_stacked_tree(pk, pc, spare_bits=spare)
         return t.kmers[:OUT_CAP], t.counts[:OUT_CAP], t.n
 
     dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))

@@ -33,7 +33,7 @@ from ..bank.fasta import IBank, open_bank
 from ..ops.bitpack import ascii_to_codes_np
 from ..ops.kmer_ops import extract_kmers, nb_limbs, py_to_limbs, kmers_to_py
 from ..ops.sortops import (CountTable, count_batch, sort_by_kmer,
-                           count_sorted, merge_stacked)
+                           count_sorted, merge_stacked, merge_stacked_tree)
 from .histogram import Histogram
 
 MAX_INT32 = 2**31 - 1
@@ -191,7 +191,7 @@ class SortingCount:
                 part = tables[i:i + MERGE_GROUP]
                 ks = jnp.stack([t[0] for t in part])
                 cs = jnp.stack([t[1] for t in part])
-                merged = merge_stacked(ks, cs, spare_bits=spare)
+                merged = merge_stacked_tree(ks, cs, spare_bits=spare)
                 n = int(merged.n)
                 group_k.append(np.asarray(merged.kmers[:n]))
                 group_c.append(np.asarray(merged.counts[:n]))

@@ -133,6 +133,101 @@ def merge_tables(a: CountTable, b: CountTable) -> CountTable:
     return count_sorted(sk, si, weights=sc)
 
 
+def _lex_lt_last(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lex a <= ordering helper: a < b over the last (limb) axis."""
+    w = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], bool)
+    eq = jnp.ones(a.shape[:-1], bool)
+    for j in range(w):
+        lt = lt | (eq & (a[..., j] < b[..., j]))
+        eq = eq & (a[..., j] == b[..., j])
+    return lt
+
+
+def bitonic_merge_pair(ka, ca, kb, cb):
+    """Merge two *sorted* (C, W)+counts tables into a sorted (2C, W).
+
+    A bitonic MERGE is log2(2C) elementwise compare-exchange stages —
+    not a full sort. This is what makes the device-side global merge of
+    per-batch sorted tables cheap: the reference's 453-way KxmerPointer
+    merge heap (PartitionsCommand.cpp:1600-1800) becomes a handful of
+    fused min/max passes.
+    """
+    c_len, w = ka.shape
+    kb = kb[::-1]
+    cb = cb[::-1]
+    k = jnp.concatenate([ka, kb], axis=0)   # bitonic sequence
+    c = jnp.concatenate([ca, cb], axis=0)
+    n = 2 * c_len
+    j = c_len
+    while j >= 1:
+        k2 = k.reshape(n // (2 * j), 2, j, w)
+        c2 = c.reshape(n // (2 * j), 2, j)
+        a, b = k2[:, 0], k2[:, 1]
+        lt = _lex_lt_last(a, b)[..., None]
+        lo = jnp.where(lt, a, b)
+        hi = jnp.where(lt, b, a)
+        lo_c = jnp.where(lt[..., 0], c2[:, 0], c2[:, 1])
+        hi_c = jnp.where(lt[..., 0], c2[:, 1], c2[:, 0])
+        k = jnp.stack([lo, hi], axis=1).reshape(n, w)
+        c = jnp.stack([lo_c, hi_c], axis=1).reshape(n)
+        j //= 2
+    return k, c
+
+
+@functools.partial(jax.jit, static_argnames=("spare_bits",))
+def merge_stacked_tree(kmers: jnp.ndarray, counts: jnp.ndarray,
+                       spare_bits: bool = False) -> CountTable:
+    """Device global merge of per-batch *sorted* tables via a bitonic
+    merge tree + one final segment reduce.
+
+    kmers: (NB, C, W) sorted tables (padding rows all-ones sentinels when
+    spare_bits, else identified by counts == 0), counts: (NB, C).
+    Replaces the O(n log^2 n) full re-sort of merge_stacked with
+    O(n log n) elementwise merge stages.
+    """
+    nb, c_len, w = kmers.shape
+    flat_c = counts.astype(I32)
+    if not spare_bits:
+        # encode padding as all-ones keys so they ride to the tail;
+        # callers with 2k%32==0 must not produce the all-ones kmer
+        live = flat_c > 0
+        kmers = jnp.where(live[..., None], kmers, U32(0xFFFFFFFF))
+    # pad table length to a power of two (bitonic networks need it);
+    # sentinel rows ride to the tail
+    c2 = 1
+    while c2 < c_len:
+        c2 *= 2
+    if c2 != c_len:
+        pad_k = jnp.full((nb, c2 - c_len, w), U32(0xFFFFFFFF))
+        pad_c = jnp.zeros((nb, c2 - c_len), I32)
+        kmers = jnp.concatenate([kmers, pad_k], axis=1)
+        flat_c = jnp.concatenate([flat_c, pad_c], axis=1)
+        c_len = c2
+    # pad table count to a power of two with sentinel tables
+    nb2 = 1
+    while nb2 < nb:
+        nb2 *= 2
+    if nb2 != nb:
+        pad_k = jnp.full((nb2 - nb, c_len, w), U32(0xFFFFFFFF))
+        pad_c = jnp.zeros((nb2 - nb, c_len), I32)
+        kmers = jnp.concatenate([kmers, pad_k], axis=0)
+        flat_c = jnp.concatenate([flat_c, pad_c], axis=0)
+    k, c = kmers, flat_c
+    while k.shape[0] > 1:
+        half = k.shape[0] // 2
+        ka, kb = k[0::2], k[1::2]
+        ca, cb = c[0::2], c[1::2]
+        k, c = jax.vmap(bitonic_merge_pair)(ka, ca, kb, cb)
+    k = k[0]
+    c = c[0]
+    live = c > 0
+    n_valid = jnp.sum(live)
+    idx = jax.lax.broadcasted_iota(I32, (k.shape[0],), 0)
+    si = idx >= n_valid
+    return count_sorted(k, si, weights=c)
+
+
 @functools.partial(jax.jit, static_argnames=("spare_bits",))
 def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
                   spare_bits: bool = False) -> CountTable:
