@@ -139,6 +139,24 @@ class _BatchBuilder:
         return out
 
 
+def _native_fastx_paths(bank) -> list[str] | None:
+    """Plain FASTA/FASTQ(.gz) file list of a bank if the native C++ parser
+    can serve it (and is buildable), else None."""
+    import os
+
+    from ..bank.fasta import BankFasta
+
+    if os.environ.get("GATB_TPU_NO_NATIVE"):
+        return None
+    if not isinstance(bank, BankFasta):
+        return None
+    try:
+        from ..native import available
+    except ImportError:
+        return None
+    return list(bank.paths) if available() else None
+
+
 class SortingCount:
     """Driver for the counting pipeline (SortingCountAlgorithm equivalent)."""
 
@@ -172,13 +190,27 @@ class SortingCount:
             device_partials.setdefault(table.capacity, []).append(
                 (table.kmers, table.counts))
 
-        for seq in bank:
-            nb_seq += 1
-            seq_total_size += len(seq)
-            for batch in builder.add(seq.data):
-                process(*batch)
-        if builder.row:
-            process(*builder.flush())
+        native_paths = _native_fastx_paths(bank)
+        if native_paths is not None:
+            # native C++ parse+encode+batch path (native/fastx.cpp), batch
+            # shapes identical to _BatchBuilder (equivalence-tested)
+            from ..native import NativeBatcher
+
+            for path in native_paths:
+                nat = NativeBatcher(path, k, cfg.batch_reads, builder.L)
+                for batch in nat:
+                    process(*batch)
+                s_n, s_t = nat.stats()
+                nb_seq += s_n
+                seq_total_size += s_t
+        else:
+            for seq in bank:
+                nb_seq += 1
+                seq_total_size += len(seq)
+                for batch in builder.add(seq.data):
+                    process(*batch)
+            if builder.row:
+                process(*builder.flush())
         t_fill = time.time() - t0
 
         # ---- global merge on device per capacity group --------------------

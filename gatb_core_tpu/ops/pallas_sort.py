@@ -88,6 +88,154 @@ def _bitonic_kernel(hi_ref, lo_ref, out_hi_ref, out_lo_ref, *, n: int):
     out_lo_ref[:] = lo
 
 
+# ---------------------------------------------------------------------------
+# Round-2 production kernel: tiled bitonic sort with ROLLED stage loops.
+#
+# The round-1 kernel above unrolls every compare-exchange stage into the
+# Mosaic program (O(log^2 n) stages -> pathological remote compiles). This
+# version keeps the Mosaic program tiny: ONE stage body inside
+# fori_loop/while_loop with *dynamic* roll shifts (pltpu.roll accepts traced
+# shift amounts), gridded over VMEM-sized tiles. Inter-tile merge stages run
+# as cheap fused XLA compare-exchanges (elementwise min/max over reshaped
+# views) — a bitonic MERGE per level, not a sort.
+#
+# Supports any number of uint32 limb planes (big-endian lex order ==
+# LargeInt integer order, ops/kmer_ops.py docstring).
+# ---------------------------------------------------------------------------
+
+
+def _lex_lt_limbs(a, b):
+    """a < b lexicographically over tuples of same-shape uint32 arrays."""
+    lt = jnp.zeros(a[0].shape, bool)
+    eq = jnp.ones(a[0].shape, bool)
+    for aj, bj in zip(a, b):
+        lt = lt | (eq & (aj < bj))
+        eq = eq & (aj == bj)
+    return lt, eq
+
+
+def _tile_sort_kernel(*refs, w: int, rows: int):
+    """Full bitonic sort of one (rows, 128) tile of w uint32 limb planes.
+
+    Stage loops are rolled: log2(n) outer fori_loop iterations, each with a
+    while_loop halving j; every roll shift is a traced scalar, so the Mosaic
+    program contains exactly one compare-exchange stage.
+    """
+    in_refs, out_refs = refs[:w], refs[w:]
+    n = rows * LANES
+    limbs = tuple(r[:] for r in in_refs)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    idx = row_ids * LANES + col_ids
+    log_n = n.bit_length() - 1
+
+    def stage(j, big_k, limbs):
+        is_lane = j < LANES
+        jl = jnp.where(is_lane, j, 0)
+        jr = jnp.where(is_lane, 0, j // LANES)
+        dn_l = jnp.where(is_lane, (LANES - jl) % LANES, 0)
+        dn_r = jnp.where(is_lane, 0, (rows - jr) % rows)
+
+        def both(x, lane_s, row_s):
+            x = pltpu.roll(x, lane_s, 1)
+            return pltpu.roll(x, row_s, 0)
+
+        down = tuple(both(x, dn_l, dn_r) for x in limbs)   # value at i + j
+        up = tuple(both(x, jl, jr) for x in limbs)         # value at i - j
+        low_half = (idx & j) == 0
+        partner = tuple(jnp.where(low_half, d, u) for d, u in zip(down, up))
+        lt, eq = _lex_lt_limbs(limbs, partner)
+        take_min = low_half ^ ((idx & big_k) != 0)
+        self_is_min = lt | eq
+        keep = (take_min & self_is_min) | (~take_min & ~lt)
+        return tuple(jnp.where(keep, x, p) for x, p in zip(limbs, partner))
+
+    def outer(a, limbs):
+        big_k = jnp.int32(1) << a
+
+        def cond(st):
+            return st[0] >= 1
+
+        def body(st):
+            j, lm = st
+            return j // 2, stage(j, big_k, lm)
+
+        _, limbs = jax.lax.while_loop(cond, body, (big_k // 2, limbs))
+        return limbs
+
+    limbs = jax.lax.fori_loop(1, log_n + 1, outer, limbs)
+    for r, x in zip(out_refs, limbs):
+        r[:] = x
+
+
+def _merge_sorted_runs(limbs, run: int):
+    """One bitonic merge level in XLA: pairs of adjacent ascending runs of
+    length ``run`` -> ascending runs of length 2*run. Pure elementwise
+    compare-exchanges (fusable), no sort."""
+    n = limbs[0].shape[0]
+    pairs = n // (2 * run)
+    # second run of each pair reversed -> bitonic sequence of length 2*run
+    xs = []
+    for x in limbs:
+        v = x.reshape(pairs, 2, run)
+        xs.append(jnp.concatenate([v[:, 0], v[:, 1, ::-1]], axis=1))
+    j = run
+    while j >= 1:
+        ys = [x.reshape(pairs, (2 * run) // (2 * j), 2, j) for x in xs]
+        a = tuple(y[:, :, 0] for y in ys)
+        b = tuple(y[:, :, 1] for y in ys)
+        lt, _ = _lex_lt_limbs(a, b)
+        xs = []
+        for aj, bj in zip(a, b):
+            lo = jnp.where(lt, aj, bj)
+            hi = jnp.where(lt, bj, aj)
+            xs.append(jnp.stack([lo, hi], axis=2).reshape(pairs, 2 * run))
+        j //= 2
+    return tuple(x.reshape(n) for x in xs)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log2", "interpret"))
+def sort_u32_limbs(limbs, tile_log2: int = 17, interpret: bool = False):
+    """Sort flat (N,) uint32 limb planes ascending by their big-endian lex
+    order (== integer order of the concatenated value).
+
+    N must be a power of two and a multiple of 128. Tiles of 2^tile_log2
+    elements are fully sorted in VMEM by one small Mosaic program; remaining
+    inter-tile levels are XLA bitonic-merge stages. Invalid rows must be
+    encoded as all-ones sentinels by the caller (sortops.py convention).
+    """
+    limbs = tuple(limbs)
+    w = len(limbs)
+    n = limbs[0].shape[0]
+    if n & (n - 1):
+        raise ValueError("sort_u32_limbs: size must be a power of two")
+    tile = min(1 << tile_log2, n)
+    if tile < LANES:
+        raise ValueError("tile must be >= 128")
+    rows = tile // LANES
+    n_tiles = n // tile
+    shaped = [x.reshape(n_tiles * rows, LANES) for x in limbs]
+    out = pl.pallas_call(
+        functools.partial(_tile_sort_kernel, w=w, rows=rows),
+        grid=(n_tiles,),
+        out_shape=tuple(jax.ShapeDtypeStruct((n_tiles * rows, LANES),
+                                             jnp.uint32) for _ in range(w)),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM) for _ in range(w)],
+        out_specs=tuple(pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(w)),
+        interpret=interpret,
+    )(*shaped)
+    flat = tuple(x.reshape(n) for x in (out if isinstance(out, tuple)
+                                        else (out,)))
+    run = tile
+    while run < n:
+        flat = _merge_sorted_runs(flat, run)
+        run *= 2
+    return flat
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bitonic_sort_u64(hi: jnp.ndarray, lo: jnp.ndarray,
                      interpret: bool = False):
