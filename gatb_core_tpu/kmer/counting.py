@@ -302,7 +302,14 @@ def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):
 
 @jax.jit
 def _merge_jit(kmers, counts, inv) -> CountTable:
-    sk, si, sc = sort_by_kmer(kmers, inv, counts)
+    from ..ops.sortops import _pallas_sort_enabled, pallas_sort_rows
+
+    if _pallas_sort_enabled():
+        # counts ride as an extra least-significant key plane — their order
+        # within equal-kmer runs is irrelevant (summed by count_sorted)
+        sk, si, sc = pallas_sort_rows(kmers, inv, False, counts)
+    else:
+        sk, si, sc = sort_by_kmer(kmers, inv, counts)
     return count_sorted(sk, si, weights=sc)
 
 

@@ -10,6 +10,7 @@ slots are pushed to the tail by a leading validity key.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -17,6 +18,80 @@ import jax.numpy as jnp
 
 U32 = jnp.uint32
 I32 = jnp.int32
+
+
+def _pallas_sort_enabled() -> bool:
+    """Use the Pallas tiled bitonic sort on TPU-backed platforms (including
+    the remote 'axon' tunnel); XLA lax.sort elsewhere. Override with
+    GATB_TPU_PALLAS_SORT=0/1."""
+    env = os.environ.get("GATB_TPU_PALLAS_SORT")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pallas_tile_log2(n_pow2: int, w: int) -> int:
+    # VMEM budget: tile * w planes * 4 B with ~3x temporaries; 2^18 x 2
+    # planes measured safe and fastest on v5e (see ops/pallas_sort.py).
+    budget = 18 if w <= 2 else (17 if w <= 4 else 16)
+    return min(budget, n_pow2.bit_length() - 1)
+
+
+def pallas_sort_rows(flat: jnp.ndarray, inv: jnp.ndarray,
+                     spare_bits: bool, *payloads):
+    """Sort (N, W) kmer rows (+optional payload planes) via the Pallas tiled
+    bitonic kernel. Pads N to a power of two with all-ones sentinel rows.
+
+    Returns (sorted_kmers (P, W), sorted_inv (P,), *sorted_payloads) with
+    P = next_pow2(N); sentinel/invalid rows ride to the tail. Payloads are
+    uint32-reinterpreted and carried as extra (non-key) planes... note: the
+    bitonic network has no stable payload channel, so payloads are encoded
+    as additional least-significant key planes — callers must only pass
+    payloads whose order within equal-kmer runs is irrelevant (counts are
+    summed downstream, so this holds for the counting pipeline).
+    """
+    from .pallas_sort import sort_u32_limbs
+
+    n, w = flat.shape
+    p = _next_pow2(max(n, 256))
+    pad = p - n
+
+    def pad_plane(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+    planes = []
+    if spare_bits:
+        # invalid rows already encoded as all-ones by the caller
+        planes = [pad_plane(flat[:, j], U32(0xFFFFFFFF)) for j in range(w)]
+        n_keys = w
+    else:
+        planes = [pad_plane(inv.astype(U32), U32(0xFFFFFFFF))]
+        planes += [pad_plane(flat[:, j], U32(0xFFFFFFFF)) for j in range(w)]
+        n_keys = w + 1
+    for q in payloads:
+        planes.append(pad_plane(q.astype(U32), U32(0)))
+    out = sort_u32_limbs(tuple(planes),
+                         tile_log2=_pallas_tile_log2(p, len(planes)))
+    if spare_bits:
+        sk = jnp.stack(out[:w], axis=-1)
+        si = None
+    else:
+        si = out[0] != 0
+        sk = jnp.stack(out[1:w + 1], axis=-1)
+    rest = tuple(x.astype(I32) for x in out[n_keys:])
+    return (sk, si) + rest
 
 
 class CountTable(NamedTuple):
@@ -94,26 +169,40 @@ def count_sorted(sorted_kmers: jnp.ndarray, inv: jnp.ndarray,
     return CountTable(uniq, counts, n)
 
 
-@functools.partial(jax.jit, static_argnames=("spare_bits",))
+@functools.partial(jax.jit, static_argnames=("spare_bits", "use_pallas"))
 def count_batch(kmers: jnp.ndarray, valid: jnp.ndarray,
-                spare_bits: bool = False) -> CountTable:
+                spare_bits: bool = False,
+                use_pallas: bool | None = None) -> CountTable:
     """Flatten, sort, and reduce one extracted batch into a CountTable.
 
     With ``spare_bits=True`` (top limb has unused high bits, i.e.
     2k % 32 != 0), invalid rows are encoded as the all-ones sentinel —
     which no valid kmer can equal — and the sort drops the extra
     validity key, cutting one u32 key from the bitonic sort.
+
+    On TPU backends the sort runs in the Pallas tiled bitonic kernel
+    (ops/pallas_sort.py, ~2.4x lax.sort); capacity is padded to the next
+    power of two with sentinel rows.
     """
+    if use_pallas is None:
+        use_pallas = _pallas_sort_enabled()
     flat = kmers.reshape(-1, kmers.shape[-1])
     inv = ~valid.reshape(-1)
+    n_valid = jnp.sum(valid)
     if spare_bits:
         flat = jnp.where(inv[:, None], U32(0xFFFFFFFF), flat)
         w = flat.shape[1]
-        out = jax.lax.sort(tuple(flat[:, j] for j in range(w)), num_keys=w)
-        sk = jnp.stack(out, axis=-1)
-        n_valid = jnp.sum(valid)
-        idx = jax.lax.broadcasted_iota(I32, (flat.shape[0],), 0)
+        if use_pallas:
+            sk, _ = pallas_sort_rows(flat, inv, True)
+        else:
+            out = jax.lax.sort(tuple(flat[:, j] for j in range(w)),
+                               num_keys=w)
+            sk = jnp.stack(out, axis=-1)
+        idx = jax.lax.broadcasted_iota(I32, (sk.shape[0],), 0)
         si = idx >= n_valid
+        return count_sorted(sk, si)
+    if use_pallas:
+        sk, si = pallas_sort_rows(flat, inv, False)
         return count_sorted(sk, si)
     sk, si = sort_by_kmer(flat, inv)
     return count_sorted(sk, si)
