@@ -317,6 +317,85 @@ def merge_stacked_tree(kmers: jnp.ndarray, counts: jnp.ndarray,
     return count_sorted(k, si, weights=c)
 
 
+def _dedup_compact(k: jnp.ndarray, c: jnp.ndarray, cap_out: int):
+    """Collapse adjacent equal-key runs (length <= 2) of a sorted table and
+    compact live rows to the front of a ``cap_out``-capacity table.
+
+    Requires: k sorted ascending, padding rows have c == 0, and every live
+    key appears at most twice (true when merging two distinct-key tables).
+    Returns (kmers (cap_out, W), counts (cap_out,), n_live, overflow).
+    """
+    n, w = k.shape
+    live = c > 0
+    eq_next = jnp.all(k[1:] == k[:-1], axis=-1) & live[1:] & live[:-1]
+    absorb = jnp.concatenate([eq_next, jnp.zeros((1,), bool)])
+    c_next = jnp.concatenate([c[1:], jnp.zeros((1,), I32)])
+    c = c + jnp.where(absorb, c_next, 0)
+    dead = jnp.concatenate([jnp.zeros((1,), bool), eq_next]) | ~live
+    idx = jax.lax.broadcasted_iota(I32, (n,), 0)
+    # exclusive prefix count of dead rows = shift each live row left past
+    # all earlier dead ones (stable compaction)
+    dead_i = dead.astype(I32)
+    dest = idx - (jnp.cumsum(dead_i) - dead_i)
+    n_live = n - jnp.sum(dead_i)
+    dest = jnp.where(dead, cap_out, dest)
+    out_k = jnp.full((cap_out, w), U32(0xFFFFFFFF))
+    out_k = out_k.at[dest].set(k, mode="drop")
+    out_c = jnp.zeros((cap_out,), I32).at[dest].set(c, mode="drop")
+    return out_k, out_c, n_live, n_live > cap_out
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def merge_stacked_tree_capped(kmers: jnp.ndarray, counts: jnp.ndarray,
+                              cap: int):
+    """Capacity-bounded device merge of per-batch *distinct-key* tables.
+
+    Same contract as merge_stacked_tree, plus: every input table must have
+    distinct keys (count_batch output satisfies this) and the global number
+    of distinct kmers must fit in ``cap`` (from the configuration plan's
+    distinct-kmer estimate, ConfigurationAlgorithm.cpp:308-319). Each merge
+    level dedups equal keys (run length <= 2) and compacts back to <= cap
+    rows, so tables stop growing once they reach the cap — the uncapped
+    tree's tables double every level and its final segment-reduce touches
+    NB*C rows. Returns (CountTable, overflow); on overflow the result is
+    invalid and the caller must fall back to merge_stacked_tree.
+    """
+    nb, c_len, w = kmers.shape
+    flat_c = counts.astype(I32)
+    live = flat_c > 0
+    kmers = jnp.where(live[..., None], kmers, U32(0xFFFFFFFF))
+    c2 = _next_pow2(c_len)
+    if c2 != c_len:
+        kmers = jnp.concatenate(
+            [kmers, jnp.full((nb, c2 - c_len, w), U32(0xFFFFFFFF))], axis=1)
+        flat_c = jnp.concatenate(
+            [flat_c, jnp.zeros((nb, c2 - c_len), I32)], axis=1)
+        c_len = c2
+    nb2 = _next_pow2(nb)
+    if nb2 != nb:
+        kmers = jnp.concatenate(
+            [kmers, jnp.full((nb2 - nb, c_len, w), U32(0xFFFFFFFF))], axis=0)
+        flat_c = jnp.concatenate(
+            [flat_c, jnp.zeros((nb2 - nb, c_len), I32)], axis=0)
+    k, c = kmers, flat_c
+    overflow = jnp.zeros((), bool)
+    if k.shape[0] == 1:  # single table: dedup no-op, normalize capacity
+        cap_out = min(c_len, _next_pow2(cap))
+        k0, c0, _, ov = _dedup_compact(k[0], c[0], cap_out)
+        n = jnp.sum(c0 > 0).astype(I32)
+        return CountTable(k0, c0, n), overflow | ov
+    while k.shape[0] > 1:
+        cap_out = min(2 * k.shape[1], _next_pow2(cap))
+        mk, mc = jax.vmap(bitonic_merge_pair)(k[0::2], c[0::2],
+                                              k[1::2], c[1::2])
+        k, c, _, ov = jax.vmap(
+            lambda a, b: _dedup_compact(a, b, cap_out))(mk, mc)
+        overflow = overflow | jnp.any(ov)
+    k, c = k[0], c[0]
+    n = jnp.sum(c > 0).astype(I32)
+    return CountTable(k, c, n), overflow
+
+
 @functools.partial(jax.jit, static_argnames=("spare_bits",))
 def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
                   spare_bits: bool = False) -> CountTable:
