@@ -80,6 +80,7 @@ class Graph:
         self.node_state = np.zeros(n, np.uint8)
         self._adjacency: np.ndarray | None = None
         self._branching: np.ndarray | None = None
+        self._mphf = None  # optional BooPHF accelerator (build_mphf)
 
     # ------------------------------------------------------------------
     # creation / loading
@@ -172,9 +173,25 @@ class Graph:
         batch = self._as_batch(nodes)
         return np.asarray(self._set.contains(jnp.asarray(batch)))
 
+    def build_mphf(self) -> None:
+        """Build the constant-time BooPHF node index (MPHFAlgorithm
+        equivalent, kmer/impl/MPHFAlgorithm.cpp:150-330). Optional: without
+        it node_index falls back to the O(log n) sorted-rank search; with it
+        each query is O(levels) gathers. Codes are identical either way."""
+        from ..collections.boophf import BooPHF
+
+        self._mphf = BooPHF.build(jnp.asarray(self.solid_limbs),
+                                  self.nb_nodes)
+
     def node_index(self, nodes) -> np.ndarray:
         """nodeMPHFIndex (Graph.hpp:924): rank in sorted table, -1 if absent."""
         batch = self._as_batch(nodes)
+        if self._mphf is not None:
+            idx = np.asarray(self._mphf.rank(jnp.asarray(batch)))
+            safe = np.maximum(idx, 0)
+            # MPHF contract: absent keys may alias a code — recheck the row
+            ok = (idx >= 0) & (self.solid_limbs[safe] == batch).all(axis=-1)
+            return np.where(ok, idx, -1)
         return np.asarray(self._set.rank(jnp.asarray(batch)))
 
     def query_abundance(self, nodes) -> np.ndarray:

@@ -90,3 +90,27 @@ def test_sorted_set_rank():
     absent = py_to_limbs([v + 1 for v in vals[:50] if v + 1 not in set(vals)],
                          k)
     assert (np.asarray(s.rank(jnp.asarray(absent))) == -1).all()
+
+
+def test_boophf_rank_matches_sorted_rank():
+    from gatb_core_tpu.collections.boophf import BooPHF
+
+    rng = np.random.default_rng(3)
+    for k, n in ((31, 500), (63, 200), (127, 64)):
+        top = 1 << (2 * k)
+        vals = sorted({int.from_bytes(rng.bytes(16), "little") % top
+                       for _ in range(n)})
+        limbs = py_to_limbs(vals, k)
+        mph = BooPHF.build(jnp.asarray(limbs), len(vals))
+        r = np.asarray(mph.rank(jnp.asarray(limbs)))
+        assert (r == np.arange(len(vals))).all(), (k, r)
+
+
+def test_boophf_empty_and_tiny():
+    from gatb_core_tpu.collections.boophf import BooPHF
+
+    limbs = py_to_limbs([5], 31)
+    mph = BooPHF.build(jnp.asarray(limbs), 1)
+    assert int(mph.rank(jnp.asarray(limbs))[0]) == 0
+    empty = BooPHF.build(jnp.zeros((0, 2), np.uint32), 0)
+    assert np.asarray(empty.rank(jnp.asarray(limbs))).tolist() == [-1]

@@ -148,3 +148,22 @@ def test_storage_roundtrip(tmp_path):
     assert kmers_to_py(g2.branching_nodes()) == kmers_to_py(
         g1.branching_nodes())
     g2.storage.close()
+
+
+def test_graph_mphf_node_index_matches_sorted_rank():
+    import jax.numpy as jnp
+    from gatb_core_tpu.debruijn.graph import Graph
+
+    seqs = ["ACTGACTGAGCTACGATCAGCTACGATCAC" * 3,
+            "TTGCAGCATCAGCATCGACTACGACTATTA" * 3]
+    g = Graph.create(BankStrings(*seqs), kmer_size=21, abundance_min=1,
+                     build_branching=False)
+    nodes = g.solid_limbs
+    base = g.node_index(nodes)
+    absent = nodes.copy()
+    absent[:, -1] ^= 1  # flip low bit -> mostly absent keys
+    base_abs = g.node_index(absent)
+    g.build_mphf()
+    import numpy as np
+    assert (g.node_index(nodes) == base).all()
+    assert (g.node_index(absent) == base_abs).all()
