@@ -72,7 +72,12 @@ def main():
         t = count_batch(kb.kmers, kb.valid, spare_bits=spare)
         return t.kmers, t.counts
 
-    OUT_CAP = 1 << 21  # final distinct table slice delivered to host
+    # distinct-kmer estimate (the configuration plan's kmersNb estimate
+    # sizes this in production, ConfigurationAlgorithm.cpp:308-319): the
+    # 1 Mbp genome has <2^20 distinct 31-mers; cap the merge tree at 2^21
+    # so per-level tables stop doubling (merge_stacked_tree_capped).
+    MERGE_CAP = 1 << 21
+    OUT_CAP = 1 << 20  # final distinct table slice delivered to host
 
     @jax.jit
     def count_all(all_codes, salt):
@@ -82,14 +87,16 @@ def main():
         # remote-execution cache (see BASELINE.md measurement notes).
         all_codes = (all_codes + salt) & 3
         pk, pc = jax.lax.map(batch_step, all_codes)
-        from gatb_core_tpu.ops.sortops import merge_stacked_tree
+        from gatb_core_tpu.ops.sortops import merge_stacked_tree_capped
 
-        t = merge_stacked_tree(pk, pc, spare_bits=spare)
-        return t.kmers[:OUT_CAP], t.counts[:OUT_CAP], t.n
+        t, overflow = merge_stacked_tree_capped(pk, pc, cap=MERGE_CAP)
+        return t.kmers[:OUT_CAP], t.counts[:OUT_CAP], t.n, overflow
 
     dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))
     out = count_all(dataset, jnp.uint8(0))   # warmup/compile
     _ = [np.asarray(x) for x in out]
+    assert not bool(out[3]), "merge cap overflow — raise MERGE_CAP"
+    assert int(out[2]) <= (1 << 20), "OUT_CAP slice truncated the table"
 
     total_reads = n_batches * B
     best = None

@@ -93,6 +93,37 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _prefetch(gen, depth: int = 4):
+    """Run a generator on a background thread with a bounded queue.
+
+    Overlaps host-side batch production (FASTA parse + encode) with device
+    dispatch; exceptions propagate to the consumer."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    DONE = object()
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
+
+
 class _BatchBuilder:
     """Packs variable-length reads into fixed-shape (B, L) device batches.
 
@@ -191,26 +222,36 @@ class SortingCount:
                 (table.kmers, table.counts))
 
         native_paths = _native_fastx_paths(bank)
-        if native_paths is not None:
-            # native C++ parse+encode+batch path (native/fastx.cpp), batch
-            # shapes identical to _BatchBuilder (equivalence-tested)
-            from ..native import NativeBatcher
 
-            for path in native_paths:
-                nat = NativeBatcher(path, k, cfg.batch_reads, builder.L)
-                for batch in nat:
-                    process(*batch)
-                s_n, s_t = nat.stats()
-                nb_seq += s_n
-                seq_total_size += s_t
-        else:
-            for seq in bank:
-                nb_seq += 1
-                seq_total_size += len(seq)
-                for batch in builder.add(seq.data):
-                    process(*batch)
-            if builder.row:
-                process(*builder.flush())
+        def produce():
+            """Host batch stream (parse + 2-bit encode). Runs on a producer
+            thread so parsing overlaps device compute — the TPU analogue of
+            the reference's Dispatcher thread fan-out over the sequence
+            iterator (SortingCountAlgorithm.cpp:1271)."""
+            nonlocal nb_seq, seq_total_size
+            if native_paths is not None:
+                # native C++ parse+encode+batch path (native/fastx.cpp),
+                # batch shapes identical to _BatchBuilder (equivalence-
+                # tested); the C call releases the GIL
+                from ..native import NativeBatcher
+
+                for path in native_paths:
+                    nat = NativeBatcher(path, k, cfg.batch_reads, builder.L)
+                    for batch in nat:
+                        yield batch
+                    s_n, s_t = nat.stats()
+                    nb_seq += s_n
+                    seq_total_size += s_t
+            else:
+                for seq in bank:
+                    nb_seq += 1
+                    seq_total_size += len(seq)
+                    yield from builder.add(seq.data)
+                if builder.row:
+                    yield builder.flush()
+
+        for batch in _prefetch(produce(), depth=4):
+            process(*batch)
         t_fill = time.time() - t0
 
         # ---- global merge on device per capacity group --------------------
@@ -218,12 +259,25 @@ class SortingCount:
         group_k: list[np.ndarray] = []
         group_c: list[np.ndarray] = []
         MERGE_GROUP = 32  # bound HBM for the stacked merge
+        from ..ops.sortops import merge_stacked_tree_capped
+
         for cap, tables in device_partials.items():
             for i in range(0, len(tables), MERGE_GROUP):
                 part = tables[i:i + MERGE_GROUP]
                 ks = jnp.stack([t[0] for t in part])
                 cs = jnp.stack([t[1] for t in part])
-                merged = merge_stacked_tree(ks, cs, spare_bits=spare)
+                if len(part) > 2:
+                    # capped tree: per-level tables stop doubling once they
+                    # reach the distinct estimate (total/4 heuristic); the
+                    # overflow flag (one scalar fetch) guards exactness
+                    mcap = max(1 << 16, (len(part) * cap) // 4)
+                    merged, overflow = merge_stacked_tree_capped(
+                        ks, cs, cap=mcap)
+                    if bool(overflow):
+                        merged = merge_stacked_tree(ks, cs,
+                                                    spare_bits=spare)
+                else:
+                    merged = merge_stacked_tree(ks, cs, spare_bits=spare)
                 n = int(merged.n)
                 group_k.append(np.asarray(merged.kmers[:n]))
                 group_c.append(np.asarray(merged.counts[:n]))
