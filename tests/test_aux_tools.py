@@ -94,3 +94,23 @@ def test_estimate_distinct_kmers(test_db):
     true = len(count_kmers_py(
         [s.data for s in BankFasta(f"{test_db}/reads1.fa")], 31))
     assert 0.5 * true < n < 2.0 * true
+
+
+def test_new_project_scaffold(tmp_path):
+    import subprocess, sys, os
+    from gatb_core_tpu.tools.new_project import create_project
+
+    proj = create_project(str(tmp_path), "my-tool", nb_tools=2)
+    pkg = os.path.join(proj, "my_tool")
+    assert os.path.exists(os.path.join(pkg, "my_tool_1.py"))
+    assert os.path.exists(os.path.join(proj, "tests", "test_my_tool_2.py"))
+    # generated code parses and its parser exposes reference flag names
+    env = dict(os.environ, PYTHONPATH=proj + os.pathsep + os.getcwd(),
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from my_tool.my_tool_1 import MyTool1; "
+         "a = MyTool1.get_options_parser().parse_args(['-in','x.fa']); "
+         "print(a.kmer_size)"],
+        capture_output=True, text=True, env=env)
+    assert out.returncode == 0 and out.stdout.strip() == "31", out.stderr
