@@ -152,3 +152,20 @@ def test_extract_matches_python_model(k):
                 dv = kmers_to_py(got_k[i, j][None])[0]
                 assert dv == pv, (i, j)
                 assert int(got_m[i, j]) == pmin, (i, j)
+
+
+def test_bank_kmers_enumerates_full_space():
+    from gatb_core_tpu.kmer.bank_kmers import BankKmers, iter_bank_kmers
+    from gatb_core_tpu.kmer.model import string_to_kmer
+
+    b = BankKmers(3)
+    seqs = list(b)
+    assert len(seqs) == 64
+    assert [string_to_kmer(s.data) for s in seqs] == list(range(64))
+    n, total, mx = b.estimate()
+    assert (n, total, mx) == (64, 192, 3)
+    # BankKmerIterator equivalent over an in-memory bank
+    from gatb_core_tpu.bank.fasta import BankStrings
+
+    out = list(iter_bank_kmers(BankStrings("ACTGA"), 3))
+    assert len(out) == 1 and len(out[0][1]) == 3  # 3 windows of k=3
