@@ -54,6 +54,10 @@ class CountConfig:
     # device batching
     batch_reads: int = 1024
     batch_len: int = 256
+    # DSK pass loop (SortingCountAlgorithm.cpp:678, pass filter :806):
+    # pass p keeps kmers with minimizer % nb_passes == p, bounding live
+    # HBM per pass; results are pass-invariant (tested)
+    nb_passes: int = 1
 
     @property
     def auto_cutoff(self) -> bool:
@@ -188,6 +192,57 @@ def _native_fastx_paths(bank) -> list[str] | None:
     return list(bank.paths) if available() else None
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "nb_passes", "spare"))
+def _batch_count_step(codes, valid, lengths, pass_i, *, k: int, m: int,
+                      nb_passes: int, spare: bool):
+    """One fused device dispatch per batch: extraction + pass filter +
+    sort/segment-reduce count + stats scalars. (Splitting these into
+    separate calls costs multiple tunnel round trips per batch.)"""
+    kb = extract_kmers(codes, valid, lengths, k, m)
+    pv = kb.valid
+    if nb_passes > 1:
+        # reference pass filter: minimizer % nbPass == pass
+        # (SortingCountAlgorithm.cpp:806)
+        pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
+                   == pass_i.astype(jnp.uint32))
+    table = count_batch(kb.kmers, pv, spare_bits=spare)
+    n_valid = jnp.sum(kb.valid)
+    n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
+    return table.kmers, table.counts, n_valid, n_inside
+
+
+def _merge_partials(device_partials: dict, spare: bool):
+    """Merge per-batch device tables into host arrays, grouped by capacity."""
+    from ..ops.sortops import merge_stacked_tree_capped
+
+    group_k: list[np.ndarray] = []
+    group_c: list[np.ndarray] = []
+    MERGE_GROUP = 32  # bound HBM for the stacked merge
+    for cap, tables in device_partials.items():
+        for i in range(0, len(tables), MERGE_GROUP):
+            part = tables[i:i + MERGE_GROUP]
+            ks = jnp.stack([t[0] for t in part])
+            cs = jnp.stack([t[1] for t in part])
+            if len(part) > 2:
+                # capped tree: per-level tables stop doubling once they
+                # reach the distinct estimate (total/4 heuristic); the
+                # overflow flag (one scalar fetch) guards exactness
+                mcap = max(1 << 16, (len(part) * cap) // 4)
+                merged, overflow = merge_stacked_tree_capped(
+                    ks, cs, cap=mcap)
+                if bool(overflow):
+                    merged = merge_stacked_tree(ks, cs, spare_bits=spare)
+            else:
+                merged = merge_stacked_tree(ks, cs, spare_bits=spare)
+            n = int(merged.n)
+            group_k.append(np.asarray(merged.kmers[:n]))
+            group_c.append(np.asarray(merged.counts[:n]))
+    return group_k, group_c
+
+
 class SortingCount:
     """Driver for the counting pipeline (SortingCountAlgorithm equivalent)."""
 
@@ -202,28 +257,19 @@ class SortingCount:
         t0 = time.time()
 
         builder = _BatchBuilder(k, cfg.batch_reads, cfg.batch_len)
-        # device-resident partial tables grouped by capacity (shape);
-        # nothing round-trips to the host until the final merge
-        device_partials: dict[int, list] = {}
         valid_scalars: list = []
         inside_scalars: list = []
         nb_seq = 0
         seq_total_size = 0
         spare = (2 * k) % 32 != 0
-
-        def process(codes, valid, lengths, rows):
-            kb = extract_kmers(jnp.asarray(codes), jnp.asarray(valid),
-                               jnp.asarray(lengths), k, cfg.minimizer_size)
-            table = count_batch(kb.kmers, kb.valid, spare_bits=spare)
-            valid_scalars.append(jnp.sum(kb.valid))
-            inside_scalars.append(jnp.sum(jnp.maximum(
-                jnp.asarray(lengths) - (k - 1), 0)))
-            device_partials.setdefault(table.capacity, []).append(
-                (table.kmers, table.counts))
-
+        nb_passes = max(1, int(cfg.nb_passes))
         native_paths = _native_fastx_paths(bank)
+        group_k: list[np.ndarray] = []
+        group_c: list[np.ndarray] = []
+        n_merge_groups = 0
+        t_merge_total = 0.0
 
-        def produce():
+        def produce(count_stats: bool):
             """Host batch stream (parse + 2-bit encode). Runs on a producer
             thread so parsing overlaps device compute — the TPU analogue of
             the reference's Dispatcher thread fan-out over the sequence
@@ -239,55 +285,54 @@ class SortingCount:
                     nat = NativeBatcher(path, k, cfg.batch_reads, builder.L)
                     for batch in nat:
                         yield batch
-                    s_n, s_t = nat.stats()
-                    nb_seq += s_n
-                    seq_total_size += s_t
+                    if count_stats:
+                        s_n, s_t = nat.stats()
+                        nb_seq += s_n
+                        seq_total_size += s_t
             else:
                 for seq in bank:
-                    nb_seq += 1
-                    seq_total_size += len(seq)
+                    if count_stats:
+                        nb_seq += 1
+                        seq_total_size += len(seq)
                     yield from builder.add(seq.data)
                 if builder.row:
                     yield builder.flush()
 
-        for batch in _prefetch(produce(), depth=4):
-            process(*batch)
-        t_fill = time.time() - t0
+        # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
+        # with minimizer % nb_passes == p; each pass streams the whole bank
+        # and bounds live device memory to its own partial tables.
+        for pass_i in range(nb_passes):
+            first_pass = pass_i == 0
+            # device-resident partial tables grouped by capacity (shape);
+            # nothing round-trips to the host until the pass merge
+            device_partials: dict[int, list] = {}
+            for codes, valid, lengths, rows in _prefetch(
+                    produce(first_pass), depth=4):
+                pk, pc, nv, ni = _batch_count_step(
+                    jnp.asarray(codes), jnp.asarray(valid),
+                    jnp.asarray(lengths), jnp.int32(pass_i),
+                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                    spare=spare)
+                if first_pass:
+                    valid_scalars.append(nv)
+                    inside_scalars.append(ni)
+                device_partials.setdefault(pk.shape[0], []).append((pk, pc))
+            t1 = time.time()
+            gk, gc = _merge_partials(device_partials, spare)
+            group_k.extend(gk)
+            group_c.extend(gc)
+            n_merge_groups += max(len(gk), len(device_partials))
+            t_merge_total += time.time() - t1
+        t_fill = time.time() - t0 - t_merge_total
 
-        # ---- global merge on device per capacity group --------------------
         t1 = time.time()
-        group_k: list[np.ndarray] = []
-        group_c: list[np.ndarray] = []
-        MERGE_GROUP = 32  # bound HBM for the stacked merge
-        from ..ops.sortops import merge_stacked_tree_capped
-
-        for cap, tables in device_partials.items():
-            for i in range(0, len(tables), MERGE_GROUP):
-                part = tables[i:i + MERGE_GROUP]
-                ks = jnp.stack([t[0] for t in part])
-                cs = jnp.stack([t[1] for t in part])
-                if len(part) > 2:
-                    # capped tree: per-level tables stop doubling once they
-                    # reach the distinct estimate (total/4 heuristic); the
-                    # overflow flag (one scalar fetch) guards exactness
-                    mcap = max(1 << 16, (len(part) * cap) // 4)
-                    merged, overflow = merge_stacked_tree_capped(
-                        ks, cs, cap=mcap)
-                    if bool(overflow):
-                        merged = merge_stacked_tree(ks, cs,
-                                                    spare_bits=spare)
-                else:
-                    merged = merge_stacked_tree(ks, cs, spare_bits=spare)
-                n = int(merged.n)
-                group_k.append(np.asarray(merged.kmers[:n]))
-                group_c.append(np.asarray(merged.counts[:n]))
         if group_k:
             all_k = np.concatenate(group_k, axis=0)
             all_c = np.concatenate(group_c, axis=0)
         else:
             all_k = np.zeros((0, w), np.uint32)
             all_c = np.zeros((0,), np.int32)
-        if len(group_k) > 1 or len(device_partials) > 1:
+        if n_merge_groups > 1:
             uniq, counts = _global_merge(all_k, all_c, w)
         else:
             uniq, counts = all_k, all_c
@@ -296,7 +341,7 @@ class SortingCount:
         kmers_nb_invalid = int(sum(int(np.asarray(v))
                                    for v in inside_scalars)) \
             - kmers_nb_valid
-        t_merge = time.time() - t1
+        t_merge = t_merge_total + (time.time() - t1)
 
         # Note: overlap-split pieces can double-count boundary kmers only if
         # a kmer window appears in two pieces; the k-1 overlap yields each

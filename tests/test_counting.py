@@ -108,3 +108,21 @@ def test_histogram_counts_distinct_kmers():
     for ab, n in by_ab.items():
         assert h[ab] == n
     assert int(h.sum()) == len(exp)
+
+
+def test_multi_pass_counting_is_pass_invariant():
+    """DSK pass loop: results identical for nb_passes in {1, 2, 5}."""
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGTN"), p=[.24,.24,.24,.24,.04],
+                               size=int(rng.integers(40, 200))))
+            for _ in range(60)]
+    from gatb_core_tpu.bank.fasta import BankStrings
+
+    base = count_kmers(BankStrings(*seqs), kmer_size=25, abundance_min=1)
+    for np_ in (2, 5):
+        r = count_kmers(BankStrings(*seqs), kmer_size=25, abundance_min=1,
+                        nb_passes=np_)
+        assert r.info["kmers_nb_valid"] == base.info["kmers_nb_valid"]
+        assert r.info["kmers_nb_distinct"] == base.info["kmers_nb_distinct"]
+        assert (r.solid_kmers == base.solid_kmers).all()
+        assert (r.solid_counts == base.solid_counts).all()
