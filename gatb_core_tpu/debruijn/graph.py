@@ -90,13 +90,14 @@ class Graph:
                abundance_max=2**31 - 1, minimizer_size: int = 10,
                output: str | None = None, histo_max: int = 10000,
                batch_reads: int = 1024, batch_len: int = 256,
-               build_branching: bool = True) -> "Graph":
+               build_branching: bool = True, nb_passes: int = 1) -> "Graph":
         """Full graph build from a bank (Graph::create equivalent,
         Graph.cpp:286-605)."""
         cfg = CountConfig(kmer_size=kmer_size, abundance_min=abundance_min,
                           abundance_max=abundance_max,
                           minimizer_size=minimizer_size, histo_max=histo_max,
-                          batch_reads=batch_reads, batch_len=batch_len)
+                          batch_reads=batch_reads, batch_len=batch_len,
+                          nb_passes=nb_passes)
         result = SortingCount(cfg).execute(bank)
 
         storage = None

@@ -43,7 +43,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-solidity-kind", dest="solidity_kind", default="sum",
                    choices=["sum", "min", "max", "one", "all", "custom"])
     p.add_argument("-verbose", dest="verbose", type=int, default=1)
+    # execution-plan flags (ConfigurationAlgorithm inputs,
+    # SortingCountAlgorithm.cpp:216-217): -max-memory/-max-disk size the
+    # DSK pass loop; -nb-passes forces it directly
+    p.add_argument("-max-memory", dest="max_memory", type=int, default=5000,
+                   help="max memory in MB for the counting plan")
+    p.add_argument("-max-disk", dest="max_disk", type=int, default=0,
+                   help="max working volume in MB (0 = auto)")
+    p.add_argument("-nb-passes", dest="nb_passes", type=int, default=0,
+                   help="force the DSK pass count (0 = from the plan)")
+    p.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
+                   help="accepted for reference CLI compat (parallelism "
+                        "is the device mesh here)")
     return p
+
+
+def _plan_nb_passes(args) -> int:
+    """Compute nb_passes from the configuration plan (the reference sizes
+    its pass loop the same way, ConfigurationAlgorithm.cpp:350)."""
+    if args.nb_passes:
+        return args.nb_passes
+    from ..bank.fasta import open_bank
+    from ..kmer.configuration import compute_plan
+
+    try:
+        n, total, mx = open_bank(args.input).estimate()
+        plan = compute_plan(n, total, mx, args.kmer_size,
+                            max_memory_mb=args.max_memory,
+                            max_disk_space_mb=args.max_disk,
+                            minimizer_size=args.minimizer_size)
+        return max(1, plan.nb_passes)
+    except ValueError:
+        return 1
 
 
 def main(argv=None) -> int:
