@@ -7,10 +7,15 @@ Dataset: synthetic 1 Mbp random genome, 200k x 150 bp reads sampled
 uniformly (~30x coverage) — same data the reference baseline (dbgh5,
 all CPU cores, see BASELINE.md "Measured") is run on.
 
-Measures the steady-state device pipeline: canonical k-mer extraction +
-minimizer computation + per-batch sort/segment-reduce count + final global
-merge, excluding jit compile (one warmup pass) but including host->device
-transfers of the pre-encoded batches.
+Round-2 pipeline (one device dispatch for the whole dataset):
+  extraction (lax.map over 4096-read chunks, minimizers skipped — the
+  single-pass path never consumes them) -> ONE power-of-two Pallas tiled
+  bitonic sort of all ~23.6M (hi, lo) kmer limb planes (VMEM tile sorts +
+  fused intra-tile merge sweeps, ops/pallas_sort.py) -> scatter-free
+  distinct reduce (searchsorted/gather, ops/sortops.count_sorted_planes).
+Only scalars (n_distinct, total, checksums) leave the device: the remote
+TPU tunnel ships every fetched output at 25-250 MB/s, so fetching tables
+would measure the link, not the chip (BASELINE.md round-1 notes).
 """
 
 import json
@@ -32,6 +37,9 @@ os.environ.setdefault(
 # abundance-min=3): fill_partitions 0.697s + fill_solid_kmers 0.559s
 # = 1.256s -> 159,236 reads/s for the counting phase.
 REF_READS_PER_S = 159236.0
+
+# Known exact result for this dataset (seed 7): asserted after warmup.
+EXPECTED_DISTINCT = 999_959
 
 
 def make_dataset(n_reads=200_000, read_len=150, genome_len=1_000_000,
@@ -57,60 +65,73 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gatb_core_tpu.ops.kmer_ops import extract_kmers
-    from gatb_core_tpu.ops.sortops import count_batch, CountTable, \
-        sort_by_kmer, count_sorted
+    from gatb_core_tpu.ops.kmer_ops import extract_kmers, nb_limbs
+    from gatb_core_tpu.ops.sortops import count_planes, _next_pow2
 
-    K, M = 31, 10
-    B = 4096            # reads per device batch
-    reads = make_dataset()
+    K = 31
+    B = 4096            # reads per extraction chunk
+    n_reads_env = int(os.environ.get("GATB_BENCH_READS", 200_000))
+    reads = make_dataset(n_reads=n_reads_env)
+    full_dataset = n_reads_env == 200_000
     n_reads, read_len = reads.shape
     n_batches = n_reads // B
     reads = reads[:n_batches * B]
+    total_reads = n_batches * B
 
-    valid = np.ones((B, read_len), dtype=bool)
-    lengths = np.full((B,), read_len, dtype=np.int32)
-    jvalid = jnp.asarray(valid)
-    jlengths = jnp.asarray(lengths)
-
+    w = nb_limbs(K)
     spare = (2 * K) % 32 != 0
+    P = read_len - K + 1
+    n_rows = n_batches * B * P
+    cap = _next_pow2(n_rows)
+    CAP_OUT = 1 << 21   # > EXPECTED_DISTINCT, bounds the reduce output
 
-    def batch_step(codes):
-        kb = extract_kmers(codes, jvalid, jlengths, K, M)
-        t = count_batch(kb.kmers, kb.valid, spare_bits=spare)
-        return t.kmers, t.counts
-
-    # distinct-kmer estimate (the configuration plan's kmersNb estimate
-    # sizes this in production, ConfigurationAlgorithm.cpp:308-319): the
-    # 1 Mbp genome has <2^20 distinct 31-mers; cap the merge tree at 2^21
-    # so per-level tables stop doubling (merge_stacked_tree_capped).
-    MERGE_CAP = 1 << 21
-    OUT_CAP = 1 << 20  # final distinct table slice delivered to host
+    jvalid = jnp.ones((B, read_len), bool)
+    jlengths = jnp.full((B,), read_len, jnp.int32)
 
     @jax.jit
     def count_all(all_codes, salt):
-        # the production pipeline in one dispatch: extraction + per-batch
-        # sort/reduce + device-side global merge; only the trimmed final
-        # distinct table is delivered to the host. `salt` defeats the
-        # remote-execution cache (see BASELINE.md measurement notes).
+        # `salt` defeats the remote-execution cache (identical (program,
+        # input) pairs are served from a tunnel cache, BASELINE.md notes);
+        # salt=0 preserves the reference dataset for the warmup check.
         all_codes = (all_codes + salt) & 3
-        pk, pc = jax.lax.map(batch_step, all_codes)
-        from gatb_core_tpu.ops.sortops import merge_stacked_tree_capped
 
-        t, overflow = merge_stacked_tree_capped(pk, pc, cap=MERGE_CAP)
-        return t.kmers[:OUT_CAP], t.counts[:OUT_CAP], t.n, overflow
+        def ext(codes):
+            kb = extract_kmers(codes, jvalid, jlengths, K,
+                               with_minimizers=False)
+            return (tuple(kb.kmers[..., j].reshape(-1) for j in range(w)),
+                    kb.valid.reshape(-1))
+
+        planes, val = jax.lax.map(ext, all_codes)
+        flat = tuple(p.reshape(-1) for p in planes)
+        fv = val.reshape(-1)
+        pad = cap - n_rows
+        if pad:
+            flat = tuple(jnp.concatenate(
+                [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
+            fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
+        out_p, counts, n, overflow = count_planes(
+            flat, fv, spare_bits=spare, cap_out=CAP_OUT)
+        # order+count sensitive checksum of the distinct table (scalars only
+        # leave the device)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (CAP_OUT,), 0)
+        weights = idx * jnp.uint32(2654435761) + counts.astype(jnp.uint32)
+        chks = [jnp.sum(p * weights, dtype=jnp.uint32) for p in out_p]
+        total = jnp.sum(counts)  # < 2^31 for this dataset
+        return (n, total, overflow) + tuple(chks)
 
     dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))
-    out = count_all(dataset, jnp.uint8(0))   # warmup/compile
-    _ = [np.asarray(x) for x in out]
-    assert not bool(out[3]), "merge cap overflow — raise MERGE_CAP"
-    assert int(out[2]) <= (1 << 20), "OUT_CAP slice truncated the table"
+    out = count_all(dataset, jnp.uint8(0))   # warmup/compile + exactness
+    vals = [np.asarray(x) for x in out]
+    assert not bool(vals[2]), "CAP_OUT overflow — raise CAP_OUT"
+    assert int(vals[1]) == n_batches * B * P, "total kmers mismatch"
+    if full_dataset:
+        assert int(vals[0]) == EXPECTED_DISTINCT, \
+            f"distinct {int(vals[0])} != {EXPECTED_DISTINCT}"
 
-    total_reads = n_batches * B
     best = None
     for trial in range(3):  # best-of-3: the remote link is high-variance
         t0 = time.time()
-        out = count_all(dataset, jnp.uint8(trial))
+        out = count_all(dataset, jnp.uint8(trial + 1))
         _ = [np.asarray(x) for x in out]
         elapsed = time.time() - t0
         best = elapsed if best is None else min(best, elapsed)

@@ -54,6 +54,10 @@ class CountConfig:
     # device batching
     batch_reads: int = 1024
     batch_len: int = 256
+    # superbatch sizing: G read batches are stacked into one device
+    # dispatch (one big sort); bounded by the memory plan in production
+    # (ConfigurationAlgorithm volume/max_memory sizing)
+    superbatch_rows: int = 1 << 22
     # DSK pass loop (SortingCountAlgorithm.cpp:678, pass filter :806):
     # pass p keeps kmers with minimizer % nb_passes == p, bounding live
     # HBM per pass; results are pass-invariant (tested)
@@ -101,31 +105,51 @@ def _prefetch(gen, depth: int = 4):
     """Run a generator on a background thread with a bounded queue.
 
     Overlaps host-side batch production (FASTA parse + encode) with device
-    dispatch; exceptions propagate to the consumer."""
+    dispatch; exceptions propagate to the consumer. If the consumer stops
+    early (e.g. a device error), the producer is signalled via a
+    cancellation event and joined, so open banks/parsers are released
+    promptly instead of leaking for the session lifetime."""
     import queue as queue_mod
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    cancel = threading.Event()
     DONE = object()
 
     def run():
         try:
             for item in gen:
-                q.put(item)
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if cancel.is_set():
+                    return
             q.put(DONE)
         except BaseException as e:  # propagate into the consuming thread
-            q.put(e)
+            if not cancel.is_set():
+                q.put(e)
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancel.set()
+        while True:  # drain so a blocked producer can observe the cancel
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 class _BatchBuilder:
@@ -214,6 +238,57 @@ def _batch_count_step(codes, valid, lengths, pass_i, *, k: int, m: int,
     return table.kmers, table.counts, n_valid, n_inside
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "m", "nb_passes", "spare",
+                                    "use_pallas"))
+def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
+                      nb_passes: int, spare: bool,
+                      use_pallas: bool | None = None):
+    """One device dispatch for a whole superbatch (G stacked read batches):
+    extraction (lax.map, bounding live temporaries) + pass filter + ONE
+    power-of-two plane sort + scatter-free distinct reduce.
+
+    Replaces the round-1 per-batch sort + deep merge tree: sorting a few
+    large arrays amortizes the bitonic network's HBM stages and the big
+    sort dedups ~coverage-x duplicates in one reduce. This mirrors the
+    reference's per-partition sort granularity (PartitionsCommand.cpp:
+    1474-1505) rather than its read-batch granularity.
+
+    codes/valid: (G, B, L); lengths: (G, B). Returns
+    (planes tuple of (cap,), counts, n, n_valid, n_inside).
+    """
+    from ..ops.sortops import count_planes, _next_pow2
+
+    w = nb_limbs(k)
+
+    def ext(args):
+        c, v, l = args
+        kb = extract_kmers(c, v, l, k, m,
+                           with_minimizers=nb_passes > 1)
+        pv = kb.valid
+        if nb_passes > 1:
+            pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
+                       == pass_i.astype(jnp.uint32))
+        planes = tuple(kb.kmers[..., j].reshape(-1) for j in range(w))
+        return planes, pv.reshape(-1), jnp.sum(kb.valid)
+
+    planes, pv, nvs = jax.lax.map(ext, (codes, valid, lengths))
+    flat = tuple(p.reshape(-1) for p in planes)
+    fv = pv.reshape(-1)
+    n_valid = jnp.sum(nvs)
+    n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
+    n_rows = flat[0].shape[0]
+    cap = _next_pow2(max(n_rows, 256))
+    pad = cap - n_rows
+    if pad:
+        flat = tuple(jnp.concatenate(
+            [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
+        fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
+    out_p, counts, n, _ = count_planes(flat, fv, spare_bits=spare,
+                                       use_pallas=use_pallas)
+    return out_p, counts, n, n_valid, n_inside
+
+
 def _merge_partials(device_partials: dict, spare: bool):
     """Merge per-batch device tables into host arrays, grouped by capacity."""
     from ..ops.sortops import merge_stacked_tree_capped
@@ -264,10 +339,9 @@ class SortingCount:
         spare = (2 * k) % 32 != 0
         nb_passes = max(1, int(cfg.nb_passes))
         native_paths = _native_fastx_paths(bank)
-        group_k: list[np.ndarray] = []
-        group_c: list[np.ndarray] = []
-        n_merge_groups = 0
-        t_merge_total = 0.0
+
+        rows_per_batch = cfg.batch_reads * (builder.L - k + 1)
+        G = max(1, int(cfg.superbatch_rows) // rows_per_batch)
 
         def produce(count_stats: bool):
             """Host batch stream (parse + 2-bit encode). Runs on a producer
@@ -298,50 +372,60 @@ class SortingCount:
                 if builder.row:
                     yield builder.flush()
 
+        tables: list = []  # (planes tuple, counts, n) distinct tables
+        t_merge_total = 0.0
+
+        def flush_group(group, pass_i, first_pass):
+            """One superbatch dispatch: stack G batches, count, trim."""
+            g = len(group)
+            if g < G:  # pad the tail group to a power-of-two batch count
+                gp = _next_pow2(g)
+                B, L = group[0][0].shape
+                while len(group) < gp:
+                    group.append((np.zeros((B, L), np.uint8),
+                                  np.zeros((B, L), bool),
+                                  np.zeros((B,), np.int32), 0))
+            codes = np.stack([b[0] for b in group])
+            valid = np.stack([b[1] for b in group])
+            lengths = np.stack([b[2] for b in group])
+            out_p, counts, n, nv, ni = _superbatch_count(
+                jnp.asarray(codes), jnp.asarray(valid),
+                jnp.asarray(lengths), jnp.int32(pass_i),
+                k=k, m=cfg.minimizer_size, nb_passes=nb_passes, spare=spare)
+            if first_pass:
+                valid_scalars.append(nv)
+                inside_scalars.append(ni)
+            n = int(n)  # one scalar fetch per superbatch
+            cap = _next_pow2(max(n, 256))
+            tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
+
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
         # with minimizer % nb_passes == p; each pass streams the whole bank
-        # and bounds live device memory to its own partial tables.
+        # and bounds live device memory to its own superbatch.
         for pass_i in range(nb_passes):
             first_pass = pass_i == 0
-            # device-resident partial tables grouped by capacity (shape);
-            # nothing round-trips to the host until the pass merge
-            device_partials: dict[int, list] = {}
-            for codes, valid, lengths, rows in _prefetch(
-                    produce(first_pass), depth=4):
-                pk, pc, nv, ni = _batch_count_step(
-                    jnp.asarray(codes), jnp.asarray(valid),
-                    jnp.asarray(lengths), jnp.int32(pass_i),
-                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
-                    spare=spare)
-                if first_pass:
-                    valid_scalars.append(nv)
-                    inside_scalars.append(ni)
-                device_partials.setdefault(pk.shape[0], []).append((pk, pc))
-            t1 = time.time()
-            gk, gc = _merge_partials(device_partials, spare)
-            group_k.extend(gk)
-            group_c.extend(gc)
-            n_merge_groups += max(len(gk), len(device_partials))
-            t_merge_total += time.time() - t1
-        t_fill = time.time() - t0 - t_merge_total
+            group: list = []
+            for batch in _prefetch(produce(first_pass), depth=4):
+                group.append(batch)
+                if len(group) == G:
+                    flush_group(group, pass_i, first_pass)
+                    group = []
+            if group:
+                flush_group(group, pass_i, first_pass)
 
+        t_fill = time.time() - t0
+
+        # merge the per-superbatch distinct tables (different passes are
+        # disjoint by construction; same-pass tables overlap) — smallest
+        # pair first, one bitonic merge level + reduce per pair
         t1 = time.time()
-        if group_k:
-            all_k = np.concatenate(group_k, axis=0)
-            all_c = np.concatenate(group_c, axis=0)
-        else:
-            all_k = np.zeros((0, w), np.uint32)
-            all_c = np.zeros((0,), np.int32)
-        if n_merge_groups > 1:
-            uniq, counts = _global_merge(all_k, all_c, w)
-        else:
-            uniq, counts = all_k, all_c
+        uniq, counts = _merge_table_list(tables, w)
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))
         kmers_nb_invalid = int(sum(int(np.asarray(v))
                                    for v in inside_scalars)) \
             - kmers_nb_valid
-        t_merge = t_merge_total + (time.time() - t1)
+        t_merge = time.time() - t1
 
         # Note: overlap-split pieces can double-count boundary kmers only if
         # a kmer window appears in two pieces; the k-1 overlap yields each
@@ -380,6 +464,29 @@ class SortingCount:
         }
         return CountResult(solid_kmers, solid_counts, histogram, info,
                            cfg)
+
+
+def _merge_table_list(tables, w: int):
+    """Merge a list of (planes, counts, n) distinct tables into final
+    host (kmers (N, W), counts (N,)) arrays — smallest pair first so merge
+    capacities stay near the live sizes."""
+    from ..ops.sortops import merge_tables_planes
+
+    tables = [t for t in tables if t[2] > 0]
+    if not tables:
+        return np.zeros((0, w), np.uint32), np.zeros((0,), np.int32)
+    while len(tables) > 1:
+        tables.sort(key=lambda t: t[2])
+        (pa, ca, na), (pb, cb, nb) = tables[0], tables[1]
+        cap_out = _next_pow2(max(na + nb, 256))
+        planes, counts, n, _ = merge_tables_planes(
+            pa, jnp.asarray(ca), jnp.int32(na),
+            pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
+        tables = tables[2:] + [(planes, counts, int(n))]
+    planes, counts, n = tables[0]
+    uniq = np.stack([np.asarray(p)[:n] for p in planes], axis=1) \
+        if n else np.zeros((0, w), np.uint32)
+    return uniq, np.asarray(counts)[:n].astype(np.int32)
 
 
 def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):

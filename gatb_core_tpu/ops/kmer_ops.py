@@ -70,10 +70,11 @@ class KmerBatch(NamedTuple):
     minimizer: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m"))
+@functools.partial(jax.jit, static_argnames=("k", "m", "with_minimizers"))
 def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
                   k: int, m: int = 10,
-                  freq_order: jnp.ndarray | None = None) -> KmerBatch:
+                  freq_order: jnp.ndarray | None = None,
+                  with_minimizers: bool = True) -> KmerBatch:
     """Extract canonical k-mers + minimizers from a padded code batch.
 
     codes:   (B, L) uint8/int 2-bit codes (padding may be any value)
@@ -105,7 +106,12 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     kvalid = (window_bad == 0) & inside
 
     # --- minimizers ----------------------------------------------------
-    minim = _minimizers(codes, k, m, freq_order)  # (B, P)
+    # single-pass single-device counting never consumes them; skipping
+    # saves the windowed-min sweep + m-mer canonicalization per batch
+    if with_minimizers:
+        minim = _minimizers(codes, k, m, freq_order)  # (B, P)
+    else:
+        minim = None
 
     return KmerBatch(canon, kvalid, minim)
 

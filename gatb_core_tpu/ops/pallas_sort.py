@@ -114,6 +114,39 @@ def _lex_lt_limbs(a, b):
     return lt, eq
 
 
+def _stage_exchange(j, big_k, limbs, idx, rows):
+    """One bitonic compare-exchange stage over (rows, LANES) planes.
+
+    j: traced partner distance; big_k: traced direction period (0 => all
+    comparisons ascending, the merge case); idx: flat element index grid.
+    """
+    is_lane = j < LANES
+    jl = jnp.where(is_lane, j, 0)
+    jr = jnp.where(is_lane, 0, j // LANES)
+    dn_l = jnp.where(is_lane, (LANES - jl) % LANES, 0)
+    dn_r = jnp.where(is_lane, 0, (rows - jr) % rows)
+
+    def both(x, lane_s, row_s):
+        x = pltpu.roll(x, lane_s, 1)
+        return pltpu.roll(x, row_s, 0)
+
+    down = tuple(both(x, dn_l, dn_r) for x in limbs)   # value at i + j
+    up = tuple(both(x, jl, jr) for x in limbs)         # value at i - j
+    low_half = (idx & j) == 0
+    partner = tuple(jnp.where(low_half, d, u) for d, u in zip(down, up))
+    lt, eq = _lex_lt_limbs(limbs, partner)
+    take_min = low_half ^ ((idx & big_k) != 0)
+    self_is_min = lt | eq
+    keep = (take_min & self_is_min) | (~take_min & ~lt)
+    return tuple(jnp.where(keep, x, p) for x, p in zip(limbs, partner))
+
+
+def _tile_index_grid(rows):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    return row_ids * LANES + col_ids
+
+
 def _tile_sort_kernel(*refs, w: int, rows: int):
     """Full bitonic sort of one (rows, 128) tile of w uint32 limb planes.
 
@@ -124,31 +157,8 @@ def _tile_sort_kernel(*refs, w: int, rows: int):
     in_refs, out_refs = refs[:w], refs[w:]
     n = rows * LANES
     limbs = tuple(r[:] for r in in_refs)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    idx = row_ids * LANES + col_ids
+    idx = _tile_index_grid(rows)
     log_n = n.bit_length() - 1
-
-    def stage(j, big_k, limbs):
-        is_lane = j < LANES
-        jl = jnp.where(is_lane, j, 0)
-        jr = jnp.where(is_lane, 0, j // LANES)
-        dn_l = jnp.where(is_lane, (LANES - jl) % LANES, 0)
-        dn_r = jnp.where(is_lane, 0, (rows - jr) % rows)
-
-        def both(x, lane_s, row_s):
-            x = pltpu.roll(x, lane_s, 1)
-            return pltpu.roll(x, row_s, 0)
-
-        down = tuple(both(x, dn_l, dn_r) for x in limbs)   # value at i + j
-        up = tuple(both(x, jl, jr) for x in limbs)         # value at i - j
-        low_half = (idx & j) == 0
-        partner = tuple(jnp.where(low_half, d, u) for d, u in zip(down, up))
-        lt, eq = _lex_lt_limbs(limbs, partner)
-        take_min = low_half ^ ((idx & big_k) != 0)
-        self_is_min = lt | eq
-        keep = (take_min & self_is_min) | (~take_min & ~lt)
-        return tuple(jnp.where(keep, x, p) for x, p in zip(limbs, partner))
 
     def outer(a, limbs):
         big_k = jnp.int32(1) << a
@@ -158,7 +168,7 @@ def _tile_sort_kernel(*refs, w: int, rows: int):
 
         def body(st):
             j, lm = st
-            return j // 2, stage(j, big_k, lm)
+            return j // 2, _stage_exchange(j, big_k, lm, idx, rows)
 
         _, limbs = jax.lax.while_loop(cond, body, (big_k // 2, limbs))
         return limbs
@@ -168,10 +178,35 @@ def _tile_sort_kernel(*refs, w: int, rows: int):
         r[:] = x
 
 
-def _merge_sorted_runs(limbs, run: int):
-    """One bitonic merge level in XLA: pairs of adjacent ascending runs of
-    length ``run`` -> ascending runs of length 2*run. Pure elementwise
-    compare-exchanges (fusable), no sort."""
+def _tile_merge_kernel(*refs, w: int, rows: int):
+    """Intra-tile tail of a bitonic merge level: stages j = tile/2 .. 1,
+    uniform ascending direction (big_k = 0). Because j < tile and tiles are
+    power-of-two aligned, every compare partner is inside the same tile, so
+    all log2(tile) stages of a merge level below the tile size fuse into one
+    VMEM-resident Mosaic sweep (instead of log2(tile) HBM round trips)."""
+    in_refs, out_refs = refs[:w], refs[w:]
+    limbs = tuple(r[:] for r in in_refs)
+    idx = _tile_index_grid(rows)
+
+    def cond(st):
+        return st[0] >= 1
+
+    def body(st):
+        j, lm = st
+        return j // 2, _stage_exchange(j, jnp.int32(0), lm, idx, rows)
+
+    _, limbs = jax.lax.while_loop(
+        cond, body, (jnp.int32(rows * LANES // 2), limbs))
+    for r, x in zip(out_refs, limbs):
+        r[:] = x
+
+
+def _merge_sorted_runs(limbs, run: int, stop_j: int = 1):
+    """Bitonic merge level stages in XLA: pairs of adjacent ascending runs
+    of length ``run`` -> compare-exchange stages j = run, run/2, ...,
+    stop_j. With stop_j == 1 this completes the merge (ascending runs of
+    2*run); with stop_j > 1 the remaining j < stop_j stages are left for
+    the fused Pallas intra-tile sweep. Pure elementwise ops, no sort."""
     n = limbs[0].shape[0]
     pairs = n // (2 * run)
     # second run of each pair reversed -> bitonic sequence of length 2*run
@@ -180,7 +215,7 @@ def _merge_sorted_runs(limbs, run: int):
         v = x.reshape(pairs, 2, run)
         xs.append(jnp.concatenate([v[:, 0], v[:, 1, ::-1]], axis=1))
     j = run
-    while j >= 1:
+    while j >= stop_j:
         ys = [x.reshape(pairs, (2 * run) // (2 * j), 2, j) for x in xs]
         a = tuple(y[:, :, 0] for y in ys)
         b = tuple(y[:, :, 1] for y in ys)
@@ -194,15 +229,43 @@ def _merge_sorted_runs(limbs, run: int):
     return tuple(x.reshape(n) for x in xs)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_log2", "interpret"))
-def sort_u32_limbs(limbs, tile_log2: int = 17, interpret: bool = False):
+def _pallas_tile_sweep(flat, kernel_body, w: int, rows: int, n_tiles: int,
+                       interpret: bool):
+    """Run a per-tile Mosaic kernel over all tiles of flat (N,) planes."""
+    shaped = [x.reshape(n_tiles * rows, LANES) for x in flat]
+    out = pl.pallas_call(
+        functools.partial(kernel_body, w=w, rows=rows),
+        grid=(n_tiles,),
+        out_shape=tuple(jax.ShapeDtypeStruct((n_tiles * rows, LANES),
+                                             jnp.uint32) for _ in range(w)),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM) for _ in range(w)],
+        out_specs=tuple(pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(w)),
+        interpret=interpret,
+    )(*shaped)
+    if not isinstance(out, tuple):
+        out = (out,)
+    n = flat[0].shape[0]
+    return tuple(x.reshape(n) for x in out)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log2", "interpret",
+                                              "fuse_merge"))
+def sort_u32_limbs(limbs, tile_log2: int = 17, interpret: bool = False,
+                   fuse_merge: bool = True):
     """Sort flat (N,) uint32 limb planes ascending by their big-endian lex
     order (== integer order of the concatenated value).
 
     N must be a power of two and a multiple of 128. Tiles of 2^tile_log2
-    elements are fully sorted in VMEM by one small Mosaic program; remaining
-    inter-tile levels are XLA bitonic-merge stages. Invalid rows must be
-    encoded as all-ones sentinels by the caller (sortops.py convention).
+    elements are fully sorted in VMEM by one small Mosaic program; each
+    remaining inter-tile merge level runs its j >= tile cross-tile stages
+    as fused XLA compare-exchanges and its ~tile_log2 intra-tile stages as
+    ONE Pallas VMEM sweep (fuse_merge=True), cutting the level's HBM round
+    trips from log2(2*run) to (log2(run) - tile_log2 + ~2). Invalid rows
+    must be encoded as all-ones sentinels by the caller (sortops.py
+    convention).
     """
     limbs = tuple(limbs)
     w = len(limbs)
@@ -214,24 +277,18 @@ def sort_u32_limbs(limbs, tile_log2: int = 17, interpret: bool = False):
         raise ValueError("tile must be >= 128")
     rows = tile // LANES
     n_tiles = n // tile
-    shaped = [x.reshape(n_tiles * rows, LANES) for x in limbs]
-    out = pl.pallas_call(
-        functools.partial(_tile_sort_kernel, w=w, rows=rows),
-        grid=(n_tiles,),
-        out_shape=tuple(jax.ShapeDtypeStruct((n_tiles * rows, LANES),
-                                             jnp.uint32) for _ in range(w)),
-        in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM) for _ in range(w)],
-        out_specs=tuple(pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM)
-                        for _ in range(w)),
-        interpret=interpret,
-    )(*shaped)
-    flat = tuple(x.reshape(n) for x in (out if isinstance(out, tuple)
-                                        else (out,)))
+    flat = _pallas_tile_sweep(limbs, _tile_sort_kernel, w, rows, n_tiles,
+                              interpret)
     run = tile
     while run < n:
-        flat = _merge_sorted_runs(flat, run)
+        if fuse_merge:
+            # cross-tile stages j = run .. tile in XLA, then one fused
+            # VMEM sweep for the tile_log2 intra-tile stages
+            flat = _merge_sorted_runs(flat, run, stop_j=tile)
+            flat = _pallas_tile_sweep(flat, _tile_merge_kernel, w, rows,
+                                      n_tiles, interpret)
+        else:
+            flat = _merge_sorted_runs(flat, run)
         run *= 2
     return flat
 

@@ -41,9 +41,11 @@ def _next_pow2(n: int) -> int:
 
 
 def _pallas_tile_log2(n_pow2: int, w: int) -> int:
-    # VMEM budget: tile * w planes * 4 B with ~3x temporaries; 2^18 x 2
-    # planes measured safe and fastest on v5e (see ops/pallas_sort.py).
-    budget = 18 if w <= 2 else (17 if w <= 4 else 16)
+    # VMEM budget: the rolled stage kernel's working set measures ~9.4x
+    # the raw plane bytes (blocks are double-buffered + up/down roll
+    # temporaries), so w * 2^tile * 4B * 9.4 must stay under the 16MB
+    # scoped VMEM limit (v5e compile reported 19.62M for w=2, 2^18).
+    budget = 17 if w <= 2 else (16 if w <= 4 else 15)
     return min(budget, n_pow2.bit_length() - 1)
 
 
@@ -422,6 +424,171 @@ def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
     else:
         sk, si, sc = sort_by_kmer(flat_k, ~live, flat_c)
     return count_sorted(sk, si, weights=sc)
+
+
+# ---------------------------------------------------------------------------
+# Plane-major pipeline (round 2): the production counting path.
+#
+# K-mers ride as tuples of flat (N,) uint32 limb planes instead of (N, W)
+# row-major arrays, which keeps every elementwise sort/merge stage on the
+# natural (8, 128)-tiled layout and avoids the scatter-heavy compaction of
+# count_sorted: the reduce below is gather/cumsum/searchsorted only.
+# ---------------------------------------------------------------------------
+
+
+def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
+    """Reduce sorted limb planes into a compacted distinct table, scatter-free.
+
+    planes: tuple of (N,) uint32, sorted ascending by big-endian lex order;
+    inv: (N,) bool, True rows must all sit at the tail (sentinel region);
+    weights: optional (N,) int32 (defaults to 1 per live row);
+    cap_out: output capacity (default N).
+
+    Returns (out_planes tuple of (cap_out,), counts (cap_out,), n, overflow).
+    Replaces the reference's KxmerPointer merge+CounterBuilder run-length
+    loop (PartitionsCommand.cpp:1600-1800) with: run starts -> run ids ->
+    searchsorted(run_id, arange) start positions -> gathers + cumsum diffs.
+    """
+    n_rows = planes[0].shape[0]
+    if cap_out is None:
+        cap_out = n_rows
+    neq = planes[0][1:] != planes[0][:-1]
+    for p in planes[1:]:
+        neq = neq | (p[1:] != p[:-1])
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq]) & ~inv
+    sid = jnp.cumsum(starts.astype(I32))              # inclusive run count
+    n = sid[-1]                                       # number of runs
+    rid = jnp.where(inv, n, sid - 1)                  # nondecreasing
+    targets = jax.lax.broadcasted_iota(I32, (cap_out + 1,), 0)
+    start_pos = jnp.searchsorted(rid, targets, side="left").astype(I32)
+    if weights is None:
+        w_ = jnp.ones((n_rows,), I32)
+    else:
+        w_ = weights.astype(I32)
+    w_ = jnp.where(inv, 0, w_)
+    cumw = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(w_)])
+    counts = cumw[start_pos[1:]] - cumw[start_pos[:-1]]
+    safe = jnp.minimum(start_pos[:-1], n_rows - 1)
+    live = targets[:-1] < n
+    out_planes = tuple(jnp.where(live, p[safe], U32(0xFFFFFFFF))
+                       for p in planes)
+    counts = jnp.where(live, counts, 0)
+    return out_planes, counts, n, n > cap_out
+
+
+def sort_planes(planes, n_keys: int | None = None,
+                use_pallas: bool | None = None,
+                tile_log2: int | None = None):
+    """Sort flat power-of-two limb planes ascending (sentinels to tail).
+
+    planes beyond ``n_keys`` are payloads: on the lax.sort path they are
+    carried stably; on the Pallas path they ride as least-significant key
+    planes (callers must only pass payloads whose order within equal-key
+    runs is irrelevant — counts are summed downstream, so this holds).
+    """
+    planes = tuple(planes)
+    if n_keys is None:
+        n_keys = len(planes)
+    if use_pallas is None:
+        use_pallas = _pallas_sort_enabled()
+    if use_pallas:
+        from .pallas_sort import sort_u32_limbs
+
+        if tile_log2 is None:
+            tile_log2 = _pallas_tile_log2(planes[0].shape[0], len(planes))
+        return sort_u32_limbs(planes, tile_log2=tile_log2)
+    out = jax.lax.sort(planes, num_keys=n_keys)
+    return tuple(out)
+
+
+def _encode_invalid(planes, valid, spare_bits: bool):
+    """Sentinel-encode invalid rows for the sort: with spare bits the
+    all-ones kmer is impossible, so invalid rows become all-ones keys;
+    otherwise a leading validity plane is prepended (0 = valid)."""
+    if spare_bits:
+        return tuple(jnp.where(valid, p, U32(0xFFFFFFFF)) for p in planes), 0
+    vkey = jnp.where(valid, U32(0), U32(0xFFFFFFFF))
+    return (vkey,) + planes, 1
+
+
+def count_planes(planes, valid, weights=None, spare_bits: bool = False,
+                 cap_out: int | None = None, use_pallas: bool | None = None):
+    """Sort + reduce flat kmer planes into a distinct table (plane-major).
+
+    planes: tuple of (N,) uint32 (N a power of two); valid: (N,) bool;
+    weights: optional per-row counts (table merge case). Returns
+    (out_planes, counts, n, overflow).
+    """
+    enc, extra = _encode_invalid(planes, valid, spare_bits)
+    n_keys = len(enc)
+    payloads = () if weights is None else (weights.astype(U32),)
+    out = sort_planes(enc + payloads, n_keys=n_keys, use_pallas=use_pallas)
+    if extra:
+        inv = out[0] != 0
+        kplanes = out[1:n_keys]
+    else:
+        n_valid = jnp.sum(valid)
+        idx = jax.lax.broadcasted_iota(I32, (enc[0].shape[0],), 0)
+        inv = idx >= n_valid
+        kplanes = out[:n_keys]
+    w_ = out[n_keys].astype(I32) if weights is not None else None
+    return count_sorted_planes(kplanes, inv, weights=w_, cap_out=cap_out)
+
+
+def pad_planes_pow2(planes, counts=None, min_cap: int = 256):
+    """Pad host/device (n,) planes to the next power of two with sentinel
+    rows (all-ones keys, zero counts). Returns (planes, counts, n)."""
+    n = planes[0].shape[0]
+    cap = _next_pow2(max(n, min_cap))
+    pad = cap - n
+    if pad:
+        planes = tuple(jnp.concatenate(
+            [p, jnp.full((pad,), U32(0xFFFFFFFF))]) for p in planes)
+        if counts is not None:
+            counts = jnp.concatenate([counts, jnp.zeros((pad,), I32)])
+    return planes, counts, n
+
+
+@functools.partial(jax.jit, static_argnames=("cap_out", "use_pallas"))
+def merge_tables_planes(pa, ca, na, pb, cb, nb, cap_out: int,
+                        use_pallas: bool | None = None):
+    """Merge two sorted distinct-key tables (plane-major) into one.
+
+    pa/pb: tuples of (Ca,)/(Cb,) uint32 planes (power-of-two capacities,
+    sentinel tails); ca/cb: (Ca,)/(Cb,) int32 counts; na/nb: live rows.
+    One bitonic merge level + the scatter-free reduce. Returns
+    (planes, counts, n, overflow) at capacity cap_out.
+    """
+    from .pallas_sort import _merge_sorted_runs
+
+    ca_cap, cb_cap = pa[0].shape[0], pb[0].shape[0]
+    if ca_cap != cb_cap:  # pad the smaller to the larger capacity
+        cap = max(ca_cap, cb_cap)
+        if ca_cap < cap:
+            pa, ca, _ = pad_planes_pow2(pa, ca, min_cap=cap)
+        else:
+            pb, cb, _ = pad_planes_pow2(pb, cb, min_cap=cap)
+    cap = pa[0].shape[0]
+    planes = tuple(jnp.concatenate([x, y]) for x, y in zip(pa, pb))
+    wts = jnp.concatenate([ca, cb]).astype(U32)
+    allp = planes + (wts,)
+    if use_pallas is None:
+        use_pallas = _pallas_sort_enabled()
+    if use_pallas and 2 * cap >= 512:
+        from .pallas_sort import LANES, _pallas_tile_sweep, \
+            _tile_merge_kernel
+
+        tile = min(1 << _pallas_tile_log2(2 * cap, len(allp)), cap)
+        merged = _merge_sorted_runs(allp, cap, stop_j=tile)
+        merged = _pallas_tile_sweep(merged, _tile_merge_kernel, len(allp),
+                                    tile // LANES, (2 * cap) // tile, False)
+    else:
+        merged = _merge_sorted_runs(allp, cap)
+    idx = jax.lax.broadcasted_iota(I32, (2 * cap,), 0)
+    inv = idx >= (na + nb)
+    return count_sorted_planes(merged[:-1], inv,
+                               weights=merged[-1].astype(I32),
+                               cap_out=cap_out)
 
 
 def shrink(table: CountTable, capacity: int) -> CountTable:

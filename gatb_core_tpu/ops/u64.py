@@ -107,20 +107,54 @@ def u64_lt(a: U64, b: U64) -> jnp.ndarray:
     return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
 
 
-def u64_mod_u32(a: U64, m: int) -> jnp.ndarray:
-    """a mod m for a small static modulus m (< 2^31). Returns uint32.
+def u64_sub(a: U64, b: U64) -> U64:
+    """a - b with C uint64_t wrap-around semantics."""
+    lo = a.lo - b.lo
+    borrow = (a.lo < b.lo).astype(_U32)
+    hi = a.hi - b.hi - borrow
+    return U64(hi, lo)
 
-    Uses (hi*2^32 + lo) mod m = ((hi mod m) * (2^32 mod m) + lo mod m) mod m,
-    computed in uint32 via wide multiply.
+
+def u64_mulhi(a: U64, bh: int, bl: int) -> U64:
+    """High 64 bits of the 64x64->128 product a * (bh*2^32 + bl), where
+    (bh, bl) is a STATIC 64-bit constant. Exact (full 128-bit schoolbook
+    with carry propagation through the middle column)."""
+    bh_c = jnp.uint32(bh)
+    bl_c = jnp.uint32(bl)
+    t_hi, _ = _mul32_wide(a.lo, bl_c)            # al*bl: only hi32 matters
+    u = U64(*_mul32_wide(a.lo, bh_c))            # al*bh (64-bit)
+    v = U64(*_mul32_wide(a.hi, bl_c))            # ah*bl (64-bit)
+    w = U64(*_mul32_wide(a.hi, bh_c))            # ah*bh (64-bit)
+    # mid = u + v + t_hi, tracking carries past bit 64
+    s1 = u64_add(u, v)
+    c1 = u64_lt(s1, u).astype(_U32)              # carry of u+v
+    s2 = u64_add(s1, U64.from_u32(t_hi))
+    c2 = u64_lt(s2, s1).astype(_U32)             # carry of +t_hi
+    # hi128 = w + (mid >> 32) + carries*2^32
+    out = u64_add(w, U64(jnp.zeros_like(s2.hi), s2.hi))
+    return u64_add(out, U64(c1 + c2, jnp.zeros_like(c1)))
+
+
+def u64_mod_u32(a: U64, m: int) -> jnp.ndarray:
+    """a mod m for a static modulus 1 <= m < 2^32. Returns uint32. Exact
+    for the full u64 input range (Barrett reduction with the static
+    64-bit reciprocal floor(2^64/m); quotient error <= 2, corrected).
     """
-    r32 = (1 << 32) % m
-    hi_mod = a.hi % jnp.uint32(m)
-    # hi_mod * r32 can reach ~2^62 -> use wide multiply then fold once.
-    phi, plo = _mul32_wide(hi_mod, jnp.uint32(r32))
-    # (phi*2^32 + plo) mod m
-    t = ((phi % jnp.uint32(m)) * jnp.uint32(r32)) % jnp.uint32(m)
-    t = (t + plo % jnp.uint32(m)) % jnp.uint32(m)
-    return (t + a.lo % jnp.uint32(m)) % jnp.uint32(m)
+    if not (1 <= m < (1 << 32)):
+        raise ValueError(f"u64_mod_u32: modulus {m} out of range")
+    if m == 1:
+        return jnp.zeros_like(a.lo)
+    if m & (m - 1) == 0:  # power of two
+        return a.lo & jnp.uint32(m - 1)
+    recip = (1 << 64) // m  # < 2^64 since m >= 2
+    q = u64_mulhi(a, (recip >> 32) & 0xFFFFFFFF, recip & 0xFFFFFFFF)
+    r = u64_sub(a, u64_mul(q, U64.from_int(m, like=a.lo)))
+    m64 = U64.from_int(m, like=a.lo)
+    for _ in range(2):  # q underestimates floor(a/m) by at most 2
+        over = ~u64_lt(r, m64)
+        r = U64(jnp.where(over, u64_sub(r, m64).hi, r.hi),
+                jnp.where(over, u64_sub(r, m64).lo, r.lo))
+    return r.lo
 
 
 # ---------------------------------------------------------------------------

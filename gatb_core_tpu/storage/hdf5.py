@@ -189,6 +189,110 @@ def save_histogram(storage: Storage, histogram) -> None:
     g.set_property("first_peak", np.uint64(histogram.first_peak))
 
 
+def save_bloom(storage: Storage, bloom) -> None:
+    """Write the Bloom filter into /bloom (BloomAlgorithm persistence,
+    kmer/impl/BloomAlgorithm.cpp:155-203 saves into group 'bloom')."""
+    g = storage.group("bloom")
+    g.set_dataset("bloom", np.asarray(bloom.words))
+    g.set_property("size_bits", np.uint64(bloom.size_bits))
+    g.set_property("nb_hash", np.uint64(bloom.n_hash))
+    g.set_property("seed", np.uint64(bloom.user_seed))
+    storage.set_state_bit(STATE_BLOOM_DONE)
+
+
+def load_bloom(storage: Storage):
+    from ..collections.bloom import BloomFilter
+    import jax.numpy as jnp
+
+    g = storage.group("bloom")
+    words = g.get_dataset("bloom")
+    if words is None:
+        return None
+    return BloomFilter(jnp.asarray(words),
+                       int(g.get_property("size_bits")),
+                       int(g.get_property("nb_hash")),
+                       int(g.get_property("seed", 0)))
+
+
+def save_debloom(storage: Storage, cfp_limbs: np.ndarray, kmer_size: int,
+                 kind: str = "original", cascade=None) -> None:
+    """Write the cFP set into /debloom (DebloomAlgorithm::createCFP,
+    kmer/impl/DebloomAlgorithm.cpp:476-600). 'original' = plain sorted
+    set; 'cascading' additionally stores the bloom cascade encoding."""
+    g = storage.group("debloom")
+    words = max(1, (kmer_size + 31) // 32)
+    vals = limbs_to_words64(cfp_limbs)
+    if vals.shape[1] < words:
+        vals = np.concatenate(
+            [vals, np.zeros((len(vals), words - vals.shape[1]), np.uint64)],
+            axis=1)
+    g.set_dataset("cfp", vals[:, :words])
+    g.set_property("nb_cfp", np.uint64(len(cfp_limbs)))
+    g.set_property("kind", kind)
+    if cascade is not None:
+        cg = g.group("cascading")
+        cg.set_property("nb_levels", np.uint64(len(cascade.blooms)))
+        for i, b in enumerate(cascade.blooms):
+            bg = cg.group(f"bloom{i + 2}")
+            bg.set_dataset("bloom", np.asarray(b.words))
+            bg.set_property("size_bits", np.uint64(b.size_bits))
+            bg.set_property("nb_hash", np.uint64(b.n_hash))
+            bg.set_property("seed", np.uint64(b.user_seed))
+        tvals = limbs_to_words64(cascade.t4) if len(cascade.t4) else \
+            np.zeros((0, words), np.uint64)
+        if tvals.shape[1] < words and len(tvals):
+            tvals = np.concatenate(
+                [tvals,
+                 np.zeros((len(tvals), words - tvals.shape[1]), np.uint64)],
+                axis=1)
+        cg.set_dataset("t4", tvals[:, :words] if len(tvals) else tvals)
+    storage.set_state_bit(STATE_DEBLOOM_DONE)
+
+
+def load_debloom(storage: Storage, w32: int) -> np.ndarray | None:
+    g = storage.group("debloom")
+    rec = g.get_dataset("cfp")
+    if rec is None:
+        return None
+    return words64_to_limbs(rec, w32)
+
+
+def save_mphf(storage: Storage, mphf, abundance_codes: np.ndarray) -> None:
+    """Persist the BooPHF levels + discretized abundance map into /mphf
+    (MPHFAlgorithm persistence, kmer/impl/MPHFAlgorithm.cpp:150-330)."""
+    g = storage.group("mphf")
+    g.set_dataset("bits", np.asarray(mphf.bits))
+    g.set_dataset("prefix", np.asarray(mphf.prefix))
+    g.set_dataset("perm", np.asarray(mphf.perm))
+    g.set_dataset("fallback_keys", np.asarray(mphf.fallback_keys))
+    g.set_dataset("fallback_ranks", np.asarray(mphf.fallback_ranks))
+    g.set_dataset("abundance", np.asarray(abundance_codes))
+    g.set_property("sizes", np.asarray(mphf.sizes, np.uint64))
+    g.set_property("offsets", np.asarray(mphf.offsets, np.uint64))
+    g.set_property("n", np.uint64(mphf.n))
+    storage.set_state_bit(STATE_MPHF_DONE)
+
+
+def load_mphf(storage: Storage):
+    import jax.numpy as jnp
+    from ..collections.boophf import BooPHF
+
+    g = storage.group("mphf")
+    bits = g.get_dataset("bits")
+    if bits is None:
+        return None, None
+    mphf = BooPHF(
+        tuple(int(x) for x in g.get_property("sizes")),
+        jnp.asarray(bits),
+        jnp.asarray(g.get_dataset("prefix")),
+        tuple(int(x) for x in g.get_property("offsets")),
+        jnp.asarray(g.get_dataset("fallback_keys")),
+        jnp.asarray(g.get_dataset("fallback_ranks")),
+        jnp.asarray(g.get_dataset("perm")),
+        int(g.get_property("n")))
+    return mphf, g.get_dataset("abundance")
+
+
 def save_config(storage: Storage, info: dict) -> None:
     g = storage.group("configuration")
     lines = ["<config>"]

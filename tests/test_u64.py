@@ -90,7 +90,19 @@ def test_oahash64_bit_exact():
 def test_mod_u32():
     rng = np.random.default_rng(3)
     keys = rng.integers(0, 1 << 64, 300, dtype=np.uint64)
-    for mod in (7, 1000003, (1 << 31) - 1):
+    # large moduli regression: the round-1 fold wrapped uint32 above ~2^22
+    # (ADVICE.md; BooPHF hits m = 3*n on genome-scale builds)
+    for mod in (1, 2, 7, 1000003, 50_000_064, 3 * 8_040_763,
+                (1 << 30), (1 << 31) - 1, (1 << 31) + 1, (1 << 32) - 5):
         out = jax.jit(lambda k: u64_mod_u32(k, mod))(pack(keys))
         exp = np.array([int(x) % mod for x in keys], np.uint32)
+        assert (np.asarray(out) == exp).all(), mod
+    # boundary values
+    edge = pack(np.array([0, 1, M64, M64 - 1, 1 << 32, (1 << 32) - 1],
+                         np.uint64))
+    for mod in (3, 50_000_064, (1 << 32) - 1):
+        out = u64_mod_u32(edge, mod)
+        exp = np.array([x % mod for x in
+                        [0, 1, M64, M64 - 1, 1 << 32, (1 << 32) - 1]],
+                       np.uint32)
         assert (np.asarray(out) == exp).all(), mod
