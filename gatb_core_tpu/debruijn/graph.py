@@ -36,7 +36,8 @@ from ..ops.neighbor_ops import neighbor_candidates
 from ..storage import hdf5 as storage_mod
 from ..storage.hdf5 import (
     Storage, STATE_SORTING_COUNT_DONE, STATE_BRANCHING_DONE,
-    STATE_ADJACENCY_DONE,
+    STATE_ADJACENCY_DONE, STATE_BLOOM_DONE, STATE_DEBLOOM_DONE,
+    STATE_MPHF_DONE,
 )
 
 U32 = jnp.uint32
@@ -81,6 +82,9 @@ class Graph:
         self._adjacency: np.ndarray | None = None
         self._branching: np.ndarray | None = None
         self._mphf = None  # optional BooPHF accelerator (build_mphf)
+        self._debloom = None          # DebloomResult (bloom + cFP)
+        self._container = None        # BloomCfpContainer membership oracle
+        self.membership_mode = "exact"  # or "bloom_cfp"
 
     # ------------------------------------------------------------------
     # creation / loading
@@ -90,14 +94,24 @@ class Graph:
                abundance_max=2**31 - 1, minimizer_size: int = 10,
                output: str | None = None, histo_max: int = 10000,
                batch_reads: int = 1024, batch_len: int = 256,
-               build_branching: bool = True, nb_passes: int = 1) -> "Graph":
-        """Full graph build from a bank (Graph::create equivalent,
-        Graph.cpp:286-605)."""
+               build_branching: bool = True, nb_passes: int = 1,
+               bloom_kind: str = "neighbor", debloom_kind: str = "cascading",
+               mphf_kind: str = "boophf",
+               repartition: bool = True,
+               superbatch_rows: int | None = None) -> "Graph":
+        """Full graph build from a bank (Graph::create equivalent):
+        config -> repartitor -> DSK (build_visitor_solid, Graph.cpp:286-433)
+        then MPHF -> Bloom -> Debloom -> Branching (build_visitor_postsolid,
+        Graph.cpp:433-605), each stage persisted + state-bit-stamped.
+        Kind defaults mirror the reference enums (misc/api/Enums.hpp:73-271:
+        BloomKind=cache, DebloomKind=cascading); 'none' skips a stage."""
         cfg = CountConfig(kmer_size=kmer_size, abundance_min=abundance_min,
                           abundance_max=abundance_max,
                           minimizer_size=minimizer_size, histo_max=histo_max,
                           batch_reads=batch_reads, batch_len=batch_len,
                           nb_passes=nb_passes)
+        if superbatch_rows is not None:
+            cfg.superbatch_rows = superbatch_rows
         result = SortingCount(cfg).execute(bank)
 
         storage = None
@@ -107,14 +121,53 @@ class Graph:
             storage_mod.save_solid(storage, result.solid_kmers,
                                    result.solid_counts, kmer_size)
             storage_mod.save_histogram(storage, result.histogram)
+            if repartition:
+                # RepartitorAlgorithm (Graph.cpp:384) -> /minimizers
+                from ..kmer.repartition import build_repartitor
+
+                nb_parts = max(1, _plan_partitions(bank, kmer_size,
+                                                   minimizer_size))
+                rep = build_repartitor(bank, kmer_size, nb_parts,
+                                       minimizer_size)
+                rep.save(storage)
 
         graph = cls(kmer_size, result.solid_kmers, result.solid_counts,
                     storage, result.info)
-        if build_branching:
-            graph.branching_nodes()  # computes + persists
+        graph.build_postsolid(bloom_kind=bloom_kind,
+                              debloom_kind=debloom_kind,
+                              mphf_kind=mphf_kind,
+                              build_branching=build_branching)
         if storage is not None:
             storage.flush()
         return graph
+
+    def build_postsolid(self, bloom_kind: str = "neighbor",
+                        debloom_kind: str = "cascading",
+                        mphf_kind: str = "boophf",
+                        build_branching: bool = True) -> None:
+        """build_visitor_postsolid (Graph.cpp:433-605): MPHF -> Bloom ->
+        Debloom -> Branching, persisting each stage."""
+        if mphf_kind != "none":
+            self.build_mphf()  # MPHFAlgorithm (Graph.cpp:488-498)
+            if self.storage is not None:
+                storage_mod.save_mphf(self.storage, self._mphf,
+                                      self.abundance_codes)
+        if bloom_kind != "none" and debloom_kind != "none":
+            # BloomAlgorithm + DebloomAlgorithm (Graph.cpp:517-556)
+            from ..kmer.debloom import build_debloom, BloomCfpContainer
+
+            deb = build_debloom(self.solid_limbs, self._k,
+                                cascading=debloom_kind == "cascading",
+                                bloom_kind=bloom_kind)
+            self._debloom = deb
+            self._container = BloomCfpContainer(deb)
+            self.info.update(deb.info)
+            if self.storage is not None:
+                storage_mod.save_bloom(self.storage, deb.bloom)
+                storage_mod.save_debloom(self.storage, deb.cfp, self._k,
+                                         kind=deb.kind, cascade=deb.cascade)
+        if build_branching:
+            self.branching_nodes()  # BranchingAlgorithm (Graph.cpp:572-582)
 
     @classmethod
     def load(cls, uri: str) -> "Graph":
@@ -135,6 +188,34 @@ class Graph:
             adj = storage.group("adjacency").get_dataset("masks")
             if adj is not None:
                 graph._adjacency = adj
+        if storage.check_state(STATE_MPHF_DONE):
+            mphf, abund = storage_mod.load_mphf(storage)
+            if mphf is not None:
+                graph._mphf = mphf
+                graph.abundance_codes = abund
+        if storage.check_state(STATE_BLOOM_DONE) \
+                and storage.check_state(STATE_DEBLOOM_DONE):
+            bloom = storage_mod.load_bloom(storage)
+            cfp = storage_mod.load_debloom(storage, graph._w)
+            if bloom is not None and cfp is not None:
+                from ..kmer.debloom import (DebloomResult, CascadeCFP,
+                                            BloomCfpContainer)
+
+                g = storage.group("debloom")
+                kind = str(g.get_property("kind", "original"))
+                cascade = None
+                if kind == "cascading" and "cascading" in g:
+                    cg = g.group("cascading")
+                    blooms = [storage_mod.load_bloom_group(
+                        cg.group(f"bloom{i}")) for i in (2, 3, 4)]
+                    t4 = cg.get_dataset("t4")
+                    t4 = storage_mod.words64_to_limbs(t4, graph._w) \
+                        if t4 is not None and len(t4) else \
+                        np.zeros((0, graph._w), np.uint32)
+                    cascade = CascadeCFP(blooms, t4)
+                deb = DebloomResult(bloom, cfp, len(cfp), {}, kind, cascade)
+                graph._debloom = deb
+                graph._container = BloomCfpContainer(deb)
         return graph
 
     # ------------------------------------------------------------------
@@ -169,10 +250,28 @@ class Graph:
             nodes = nodes[None]
         return nodes
 
-    def contains(self, nodes) -> np.ndarray:
-        """(N, W) or (W,) -> bool array. Exact membership in the solid set."""
+    def contains(self, nodes, mode: str | None = None) -> np.ndarray:
+        """(N, W) or (W,) -> bool array.
+
+        mode 'exact' (default): binary search in the sorted solid table.
+        mode 'bloom_cfp': the reference's Bloom AND NOT cFP oracle
+        (ContainerNode.hpp:60-90 / :109-190 cascading) — exact for every
+        query in the 1-neighborhood of solid kmers, i.e. the closure
+        traversal operates in; requires a completed debloom stage."""
         batch = self._as_batch(nodes)
+        mode = mode or self.membership_mode
+        if mode == "bloom_cfp":
+            if self._container is None:
+                raise ValueError("no debloom stage: bloom_cfp unavailable")
+            return self._container.contains(batch)
         return np.asarray(self._set.contains(jnp.asarray(batch)))
+
+    def set_membership_mode(self, mode: str) -> None:
+        if mode not in ("exact", "bloom_cfp"):
+            raise ValueError(f"unknown membership mode {mode!r}")
+        if mode == "bloom_cfp" and self._container is None:
+            raise ValueError("no debloom stage: bloom_cfp unavailable")
+        self.membership_mode = mode
 
     def build_mphf(self) -> None:
         """Build the constant-time BooPHF node index (MPHFAlgorithm
@@ -353,6 +452,21 @@ class Graph:
             info["nb_branching"] = len(self._branching)
             info["checksum_branching"] = self.checksum_branching()
         return info
+
+
+def _plan_partitions(bank, kmer_size: int, minimizer_size: int) -> int:
+    """Partition count from the configuration plan (the reference sizes
+    the repartitor from it, Graph.cpp:366-384)."""
+    from ..bank.fasta import open_bank
+    from ..kmer.configuration import compute_plan
+
+    try:
+        n, total, mx = open_bank(bank).estimate()
+        plan = compute_plan(n, total, mx, kmer_size,
+                            minimizer_size=minimizer_size)
+        return max(1, plan.nb_partitions)
+    except (ValueError, OSError):
+        return 1
 
 
 def _popcount4(x: np.ndarray) -> np.ndarray:

@@ -240,10 +240,11 @@ def _batch_count_step(codes, valid, lengths, pass_i, *, k: int, m: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "nb_passes", "spare",
-                                    "use_pallas"))
+                                    "use_pallas", "cap_out"))
 def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
                       nb_passes: int, spare: bool,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      cap_out: int | None = None):
     """One device dispatch for a whole superbatch (G stacked read batches):
     extraction (lax.map, bounding live temporaries) + pass filter + ONE
     power-of-two plane sort + scatter-free distinct reduce.
@@ -284,9 +285,10 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
         flat = tuple(jnp.concatenate(
             [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
         fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
-    out_p, counts, n, _ = count_planes(flat, fv, spare_bits=spare,
-                                       use_pallas=use_pallas)
-    return out_p, counts, n, n_valid, n_inside
+    out_p, counts, n, overflow = count_planes(flat, fv, spare_bits=spare,
+                                              use_pallas=use_pallas,
+                                              cap_out=cap_out)
+    return out_p, counts, n, overflow, n_valid, n_inside
 
 
 def _merge_partials(device_partials: dict, spare: bool):
@@ -385,13 +387,25 @@ class SortingCount:
                     group.append((np.zeros((B, L), np.uint8),
                                   np.zeros((B, L), bool),
                                   np.zeros((B,), np.int32), 0))
-            codes = np.stack([b[0] for b in group])
-            valid = np.stack([b[1] for b in group])
-            lengths = np.stack([b[2] for b in group])
-            out_p, counts, n, nv, ni = _superbatch_count(
-                jnp.asarray(codes), jnp.asarray(valid),
-                jnp.asarray(lengths), jnp.int32(pass_i),
-                k=k, m=cfg.minimizer_size, nb_passes=nb_passes, spare=spare)
+            codes = jnp.asarray(np.stack([b[0] for b in group]))
+            valid = jnp.asarray(np.stack([b[1] for b in group]))
+            lengths = jnp.asarray(np.stack([b[2] for b in group]))
+            rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
+            # distinct-table capacity: the coverage makes distinct << rows;
+            # the overflow flag guards exactness (rare fallback re-runs at
+            # full capacity) — same role as the plan's distinct-kmer
+            # estimate in the reference (ConfigurationAlgorithm.cpp:308)
+            cap_out = max(256, rows // 4)
+            out = _superbatch_count(
+                codes, valid, lengths, jnp.int32(pass_i),
+                k=k, m=cfg.minimizer_size, nb_passes=nb_passes, spare=spare,
+                cap_out=cap_out)
+            if bool(out[3]):  # overflow: rerun unbounded (always exact)
+                out = _superbatch_count(
+                    codes, valid, lengths, jnp.int32(pass_i),
+                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                    spare=spare, cap_out=None)
+            out_p, counts, n, _, nv, ni = out
             if first_pass:
                 valid_scalars.append(nv)
                 inside_scalars.append(ni)

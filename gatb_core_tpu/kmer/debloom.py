@@ -31,19 +31,83 @@ from ..ops.neighbor_ops import neighbor_candidates
 
 
 @dataclass
+class CascadeCFP:
+    """Cascading-bloom encoding of the cFP set (DebloomAlgorithm::createCFP
+    DEBLOOM_CASCADING branch, kmer/impl/DebloomAlgorithm.cpp:487-590):
+    bloom2 over cFP, bloom3 over T2 = {solid hit by bloom2}, bloom4 over
+    T3 = {cFP hit by bloom3}, and the exact sorted set T4 = {T2 hit by
+    bloom4}. All three blooms use the cache-coherent kind (forced,
+    :497)."""
+
+    blooms: list            # [bloom2, bloom3, bloom4]
+    t4: np.ndarray          # (T, W) sorted exact leftover set
+
+
+@dataclass
 class DebloomResult:
     bloom: BloomFilter
     cfp: np.ndarray           # (C, W) sorted critical false positives
     nb_cfp: int
     info: dict
+    kind: str = "original"
+    cascade: CascadeCFP | None = None
+
+
+def _f32(x) -> float:
+    return float(np.float32(x))
+
+
+def build_cascading_cfp(solid_limbs: np.ndarray, cfp_limbs: np.ndarray,
+                        k: int, user_seed: int = 0) -> CascadeCFP:
+    """Exact port of the cascading cFP construction
+    (DebloomAlgorithm.cpp:487-590, float32 size arithmetic preserved)."""
+    nbits = debloom_nbits_per_kmer(k, True)
+    nb_solid = len(solid_limbs)
+    nb_cfp = len(cfp_limbs)
+    n_hash = max(1, int(np.floor(np.float32(0.7 * _f32(nbits)))))
+    # powf computes in float32: (double)powf((double)0.62,(double)nbits)
+    pw = float(np.power(np.float32(0.62), np.float32(nbits),
+                        dtype=np.float32))
+    t2_est = max(int(np.ceil(np.float32(nb_solid * pw))), 1)
+    t3_est = max(int(np.ceil(np.float32(nb_cfp * pw))), 1)
+
+    def sized_bloom(items: np.ndarray, est_items: int) -> BloomFilter:
+        from ..collections.bloom import _bloom_build
+
+        size = int(np.float32(est_items) * np.float32(nbits))
+        size = max(size, 1)
+        words = _bloom_build(jnp.asarray(items if len(items) else
+                                         np.zeros((1, solid_limbs.shape[1]),
+                                                  np.uint32)),
+                             jnp.asarray(np.ones(max(len(items), 1), bool)
+                                         if len(items) else
+                                         np.zeros(1, bool)),
+                             size, n_hash, user_seed, "cache", k)
+        return BloomFilter(words, size, n_hash, user_seed, "cache", k)
+
+    bloom2 = sized_bloom(cfp_limbs, nb_cfp)
+    t2 = solid_limbs[np.asarray(bloom2.contains(jnp.asarray(solid_limbs)))] \
+        if nb_solid else solid_limbs
+    bloom3 = sized_bloom(t2, t2_est)
+    t3 = cfp_limbs[np.asarray(bloom3.contains(jnp.asarray(cfp_limbs)))] \
+        if nb_cfp else cfp_limbs
+    bloom4 = sized_bloom(t3, t3_est)
+    t4 = t2[np.asarray(bloom4.contains(jnp.asarray(t2)))] if len(t2) else t2
+    # reference sorts cfpItems (already ascending here: t2 preserves the
+    # sorted solid order and t4 filters it)
+    return CascadeCFP([bloom2, bloom3, bloom4], t4)
 
 
 def build_debloom(solid_limbs: np.ndarray, k: int,
                   bloom_nbits: float | None = None,
                   cascading: bool = False, user_seed: int = 0,
+                  bloom_kind: str = "neighbor",
                   chunk: int = 1 << 15) -> DebloomResult:
     """Build Bloom + cFP over the solid set (BloomAlgorithm +
-    DebloomAlgorithm equivalents)."""
+    DebloomAlgorithm equivalents). ``bloom_kind`` defaults to the
+    reference graph build's main-bloom default (neighbor-coherent — a
+    reference dbgh5 .h5 carries /bloom kind='neighbor');
+    ``cascading`` selects the cFP encoding (reference default kind)."""
     n = len(solid_limbs)
     w = solid_limbs.shape[1] if n else 1
     if bloom_nbits is None:
@@ -51,12 +115,13 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
         bloom_nbits = debloom_nbits_per_kmer(k, cascading)
     table = jnp.asarray(solid_limbs)
     bloom = build_bloom(table, nbits_per_kmer=bloom_nbits,
-                        nb_items=max(n, 1), user_seed=user_seed)
+                        nb_items=max(n, 1), user_seed=user_seed,
+                        kind=bloom_kind, kmer_size=k)
 
     cfp_parts = []
     csize = min(chunk, max(n, 1))
     kernel = _debloom_kernel(k, n, csize, bloom.size_bits, bloom.n_hash,
-                             user_seed)
+                             user_seed, bloom.kind)
     for i in range(0, n, csize):
         part = solid_limbs[i:i + csize]
         npart = len(part)
@@ -76,17 +141,25 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
     else:
         cfp = np.zeros((0, w), np.uint32)
 
+    # reference falls back to ORIGINAL when there are no false positives
+    # (DebloomAlgorithm.cpp:476-478)
+    kind = "cascading" if (cascading and len(cfp)) else "original"
+    cascade = None
+    if kind == "cascading":
+        cascade = build_cascading_cfp(solid_limbs, cfp, k, user_seed)
+
     info = {
         "bloom_size_bits": bloom.size_bits,
         "bloom_nb_hash": bloom.n_hash,
         "nbits_per_kmer": bloom_nbits,
         "nb_cfp": int(len(cfp)),
+        "debloom_kind": kind,
     }
-    return DebloomResult(bloom, cfp, len(cfp), info)
+    return DebloomResult(bloom, cfp, len(cfp), info, kind, cascade)
 
 
 def _debloom_kernel(k: int, n_table: int, chunk: int, size_bits: int,
-                    n_hash: int, seed: int):
+                    n_hash: int, seed: int, kind: str = "basic"):
     from ..collections.bloom import _bloom_contains
 
     @jax.jit
@@ -95,7 +168,7 @@ def _debloom_kernel(k: int, n_table: int, chunk: int, size_bits: int,
         c, _, w = cands.shape
         flat = cands.reshape(c * 8, w)
         in_bloom = _bloom_contains(bloom_words, flat, size_bits, n_hash,
-                                   seed)
+                                   seed, kind, k)
         if n_table:
             pos = _searchsorted_limbs(table, flat, n_table)
             safe = jnp.minimum(pos, max(n_table - 1, 0))
@@ -112,14 +185,35 @@ class BloomCfpContainer:
     (ContainerNode equivalent, debruijn/impl/ContainerNode.hpp:60-90).
 
     Exact for every query in the 1-neighborhood of solid kmers — the
-    closure traversal operates in."""
+    closure traversal operates in. When the debloom kind is cascading,
+    the cFP test is the bloom chain (ContainerNodeCascading::containsCFP,
+    ContainerNode.hpp:174-186): in-cFP iff bloom2(x) and (not bloom3(x)
+    or (bloom4(x) and x not in T4))."""
 
     def __init__(self, debloom: DebloomResult):
         self.bloom = debloom.bloom
-        self.cfp = SortedKmerSet(jnp.asarray(debloom.cfp), len(debloom.cfp))
+        self.kind = debloom.kind
+        if debloom.kind == "cascading" and debloom.cascade is not None:
+            self.cascade = debloom.cascade
+            self.t4 = SortedKmerSet(jnp.asarray(self.cascade.t4),
+                                    len(self.cascade.t4))
+            self.cfp = None
+        else:
+            self.cascade = None
+            self.cfp = SortedKmerSet(jnp.asarray(debloom.cfp),
+                                     len(debloom.cfp))
+
+    def _contains_cfp(self, q) -> jnp.ndarray:
+        if self.cascade is None:
+            return self.cfp.contains(q)
+        b2, b3, b4 = self.cascade.blooms
+        in2 = b2.contains(q)
+        in3 = b3.contains(q)
+        in4 = b4.contains(q)
+        in_t4 = self.t4.contains(q)
+        return in2 & (~in3 | (in4 & ~in_t4))
 
     def contains(self, queries) -> np.ndarray:
         q = jnp.asarray(np.atleast_2d(queries))
         hit = self.bloom.contains(q)
-        in_cfp = self.cfp.contains(q)
-        return np.asarray(hit & ~in_cfp)
+        return np.asarray(hit & ~self._contains_cfp(q))

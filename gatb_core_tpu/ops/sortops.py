@@ -21,16 +21,16 @@ I32 = jnp.int32
 
 
 def _pallas_sort_enabled() -> bool:
-    """Use the Pallas tiled bitonic sort on TPU-backed platforms (including
-    the remote 'axon' tunnel); XLA lax.sort elsewhere. Override with
-    GATB_TPU_PALLAS_SORT=0/1."""
+    """Whether to route sorts through the Pallas tiled bitonic kernel
+    instead of XLA lax.sort. Default OFF: measured on v5e (round 2,
+    BASELINE.md), XLA's native sort is 3.9x faster than the tiled
+    bitonic pipeline for 2^25 x 2-plane keys (171ms vs 666ms — the
+    dynamic-shift roll stages are VPU-permute-bound). The kernel stays
+    available for experimentation via GATB_TPU_PALLAS_SORT=1."""
     env = os.environ.get("GATB_TPU_PALLAS_SORT")
     if env is not None:
         return env not in ("0", "false", "")
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:
-        return False
+    return False
 
 
 def _next_pow2(n: int) -> int:
@@ -436,6 +436,23 @@ def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _binsearch_i32(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Leftmost insertion points of v in sorted a (both int32), as an
+    unrolled branch-free binary search: log2(N) gather+select rounds.
+    jnp.searchsorted's default lowering measured ~25x slower on TPU
+    (955ms vs this at 2^25/2^21 — BASELINE.md round-2 notes)."""
+    n = a.shape[0]
+    lo = jnp.zeros(v.shape, I32)
+    hi = jnp.full(v.shape, n, I32)
+    # range shrinks from n to 0: ceil(log2(n)) + 1 halvings
+    for _ in range(n.bit_length()):
+        mid = (lo + hi) >> 1
+        pred = a[jnp.minimum(mid, n - 1)] < v
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
 def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
     """Reduce sorted limb planes into a compacted distinct table, scatter-free.
 
@@ -460,7 +477,7 @@ def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
     n = sid[-1]                                       # number of runs
     rid = jnp.where(inv, n, sid - 1)                  # nondecreasing
     targets = jax.lax.broadcasted_iota(I32, (cap_out + 1,), 0)
-    start_pos = jnp.searchsorted(rid, targets, side="left").astype(I32)
+    start_pos = _binsearch_i32(rid, targets)
     if weights is None:
         w_ = jnp.ones((n_rows,), I32)
     else:

@@ -71,14 +71,16 @@ def _local_count(kmers: jnp.ndarray, invalid: jnp.ndarray) -> CountTable:
 
 
 def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0,
-                    repartitor=None):
+                    repartitor=None, nb_passes: int = 1):
     """Build the jitted multi-chip counting step over ``mesh``.
 
-    Returns fn(codes, valid, lengths) where arrays are global with leading
-    batch dim sharded over the data axis; output is a ShardCount whose
-    arrays keep the device dimension sharded. ``repartitor`` (optional,
-    kmer/repartition.Repartitor) supplies the load-balanced minimizer ->
-    partition table, replicated to every device.
+    Returns fn(codes, valid, lengths, pass_i) where arrays are global with
+    leading batch dim sharded over the data axis; output is a ShardCount
+    whose arrays keep the device dimension sharded. ``repartitor``
+    (optional, kmer/repartition.Repartitor) supplies the load-balanced
+    minimizer -> partition table, replicated to every device. With
+    nb_passes > 1 the DSK pass filter applies (minimizer % nb_passes ==
+    pass_i, SortingCountAlgorithm.cpp:806).
     """
     ndev = mesh.shape[DATA_AXIS]
     repart_table = None
@@ -90,12 +92,16 @@ def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0,
         repart_table = jnp.asarray(
             _np.asarray(repartitor.table, _np.int32))
 
-    def step(codes, valid, lengths):
+    def step(codes, valid, lengths, pass_i):
         # codes: (b, L) local shard
         kb = extract_kmers(codes, valid, lengths, k, m)
         w = kb.kmers.shape[-1]
         flat_k = kb.kmers.reshape(-1, w)
         flat_v = kb.valid.reshape(-1)
+        if nb_passes > 1:
+            flat_v = flat_v & (kb.minimizer.reshape(-1)
+                               % jnp.uint32(nb_passes)
+                               == pass_i.astype(jnp.uint32))
         n = flat_k.shape[0]
         cap = int(capacity_factor * n / ndev) if ndev > 1 else n
         cap = max(cap, 1)
@@ -143,16 +149,123 @@ def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0,
     spec_in = P(DATA_AXIS)
     spec_out = tuple([P(DATA_AXIS)] * 7)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(spec_in, spec_in, spec_in),
+                   in_specs=(spec_in, spec_in, spec_in, P()),
                    out_specs=spec_out)
     jfn = jax.jit(fn)
 
-    def wrapped(codes, valid, lengths) -> ShardCount:
-        tk, tc, tn, ok, oc, on, nover = jfn(codes, valid, lengths)
+    def wrapped(codes, valid, lengths, pass_i=None) -> ShardCount:
+        if pass_i is None:
+            pass_i = jnp.int32(0)
+        tk, tc, tn, ok, oc, on, nover = jfn(codes, valid, lengths, pass_i)
         return ShardCount(CountTable(tk, tc, tn), CountTable(ok, oc, on),
                           nover)
 
     return wrapped
+
+
+def count_kmers_distributed(bank, mesh, kmer_size: int = 31,
+                            minimizer_size: int = 10, abundance_min=2,
+                            abundance_max: int = 2**31 - 1,
+                            nb_passes: int = 1,
+                            batch_reads_per_device: int = 256,
+                            batch_len: int = 256,
+                            capacity_factor: float = 2.0,
+                            repartitor="auto",
+                            histo_max: int = 10000):
+    """End-to-end multi-device SortingCount over a mesh.
+
+    The full production pipeline of SortingCountAlgorithm::execute
+    (kmer/impl/SortingCountAlgorithm.cpp:636-680) in SPMD form: the bank
+    streams as fixed global batches sharded over the data axis, each batch
+    runs extraction -> repartitor-table all-to-all (fillPartitions,
+    :1211-1345) -> per-device sort/segment-reduce, with the DSK pass loop
+    on top; per-device partial tables (+ retained overflow rows) merge into
+    the final globally-sorted table, which is bitwise equal to the
+    single-device (and reference) result for any mesh size.
+
+    repartitor: 'auto' builds the sampled-census greedy table
+    (RepartitorAlgorithm equivalent); None uses the multiplicative hash;
+    or pass a kmer.repartition.Repartitor.
+    """
+    import numpy as np
+
+    from ..bank.fasta import open_bank
+    from ..kmer.counting import (_BatchBuilder, _global_merge, _prefetch,
+                                 CountConfig, CountResult)
+    from ..kmer.histogram import Histogram
+    from ..ops.kmer_ops import nb_limbs
+
+    bank = open_bank(bank)
+    k = kmer_size
+    ndev = mesh.shape[DATA_AXIS]
+    if repartitor == "auto":
+        from ..kmer.repartition import build_repartitor
+
+        repartitor = build_repartitor(bank, k, ndev, minimizer_size)
+    step = make_count_step(mesh, k, minimizer_size,
+                           capacity_factor=capacity_factor,
+                           repartitor=repartitor, nb_passes=nb_passes)
+
+    B = batch_reads_per_device * ndev
+    builder = _BatchBuilder(k, B, batch_len)
+
+    def produce():
+        for seq in bank:
+            yield from builder.add(seq.data)
+        if builder.row:
+            yield builder.flush()
+
+    parts_k: list = []
+    parts_c: list = []
+    nb_seq = 0
+    seq_total = 0
+    for pass_i in range(max(1, nb_passes)):
+        for codes, valid, lengths, rows in _prefetch(produce(), depth=2):
+            if pass_i == 0:
+                nb_seq += rows
+                seq_total += int(lengths.sum())
+            shards = step(jnp.asarray(codes), jnp.asarray(valid),
+                          jnp.asarray(lengths), jnp.int32(pass_i))
+            bk, bc = global_table(shards, ndev)
+            if len(bk):
+                parts_k.append(bk)
+                parts_c.append(bc)
+
+    w = nb_limbs(k)
+    if parts_k:
+        uniq, counts = _global_merge(np.concatenate(parts_k),
+                                     np.concatenate(parts_c), w)
+    else:
+        uniq = np.zeros((0, w), np.uint32)
+        counts = np.zeros((0,), np.int32)
+
+    histogram = Histogram(histo_max)
+    if len(counts):
+        histogram.add_counts(counts)
+    if abundance_min == "auto":
+        amin = histogram.compute_threshold(2)
+    else:
+        amin = int(abundance_min)
+        histogram.cutoff = amin
+    solid = (counts >= amin) & (counts <= abundance_max)
+    info = {
+        "kmers_nb_distinct": int(len(counts)),
+        "kmers_nb_solid": int(solid.sum()),
+        "kmers_nb_weak": int(len(counts) - solid.sum()),
+        "kmers_nb_valid": int(counts.sum()),
+        "sequences_number": int(nb_seq),
+        "sequences_size": int(seq_total),
+        "kmer_size": k,
+        "abundance_min": amin,
+        "abundance_max": abundance_max,
+        "nb_devices": ndev,
+        "nb_passes": max(1, nb_passes),
+    }
+    cfg = CountConfig(kmer_size=k, minimizer_size=minimizer_size,
+                      abundance_min=abundance_min,
+                      abundance_max=abundance_max, nb_passes=nb_passes)
+    histogram.nb_solids_after_cutoff = int(solid.sum())
+    return CountResult(uniq[solid], counts[solid], histogram, info, cfg)
 
 
 def global_table(shards: ShardCount, ndev: int):

@@ -193,65 +193,79 @@ def save_bloom(storage: Storage, bloom) -> None:
     """Write the Bloom filter into /bloom (BloomAlgorithm persistence,
     kmer/impl/BloomAlgorithm.cpp:155-203 saves into group 'bloom')."""
     g = storage.group("bloom")
+    _save_bloom_group(g, bloom)
+    storage.set_state_bit(STATE_BLOOM_DONE)
+
+
+def _save_bloom_group(g: Group, bloom) -> None:
     g.set_dataset("bloom", np.asarray(bloom.words))
     g.set_property("size_bits", np.uint64(bloom.size_bits))
     g.set_property("nb_hash", np.uint64(bloom.n_hash))
     g.set_property("seed", np.uint64(bloom.user_seed))
-    storage.set_state_bit(STATE_BLOOM_DONE)
+    g.set_property("kind", bloom.kind)
+    g.set_property("kmer_size", np.uint64(bloom.kmer_size))
 
 
-def load_bloom(storage: Storage):
+def load_bloom_group(g: Group):
+    """Read a Bloom filter from a group holding a 'bloom' dataset."""
     from ..collections.bloom import BloomFilter
     import jax.numpy as jnp
 
-    g = storage.group("bloom")
     words = g.get_dataset("bloom")
     if words is None:
         return None
     return BloomFilter(jnp.asarray(words),
                        int(g.get_property("size_bits")),
                        int(g.get_property("nb_hash")),
-                       int(g.get_property("seed", 0)))
+                       int(g.get_property("seed", 0)),
+                       str(g.get_property("kind", "basic")),
+                       int(g.get_property("kmer_size", 0)))
+
+
+def load_bloom(storage: Storage):
+    return load_bloom_group(storage.group("bloom"))
+
+
+def _limbs_to_words_padded(limbs: np.ndarray, words: int) -> np.ndarray:
+    vals = limbs_to_words64(limbs) if len(limbs) else \
+        np.zeros((0, words), np.uint64)
+    if vals.shape[1] < words and len(vals):
+        vals = np.concatenate(
+            [vals, np.zeros((len(vals), words - vals.shape[1]), np.uint64)],
+            axis=1)
+    return vals[:, :words]
 
 
 def save_debloom(storage: Storage, cfp_limbs: np.ndarray, kmer_size: int,
                  kind: str = "original", cascade=None) -> None:
     """Write the cFP set into /debloom (DebloomAlgorithm::createCFP,
-    kmer/impl/DebloomAlgorithm.cpp:476-600). 'original' = plain sorted
-    set; 'cascading' additionally stores the bloom cascade encoding."""
+    kmer/impl/DebloomAlgorithm.cpp:476-600). Like the reference, the
+    'cfp' dataset holds the final critical collection (the full set for
+    'original', the exact leftover T4 for 'cascading'); 'cfp_all' always
+    carries the full cFP set (used for exact-set conformance checks)."""
     g = storage.group("debloom")
     words = max(1, (kmer_size + 31) // 32)
-    vals = limbs_to_words64(cfp_limbs)
-    if vals.shape[1] < words:
-        vals = np.concatenate(
-            [vals, np.zeros((len(vals), words - vals.shape[1]), np.uint64)],
-            axis=1)
-    g.set_dataset("cfp", vals[:, :words])
+    final_set = cascade.t4 if (kind == "cascading" and cascade is not None) \
+        else cfp_limbs
+    g.set_dataset("cfp", _limbs_to_words_padded(final_set, words))
+    g.set_dataset("cfp_all", _limbs_to_words_padded(cfp_limbs, words))
     g.set_property("nb_cfp", np.uint64(len(cfp_limbs)))
     g.set_property("kind", kind)
     if cascade is not None:
         cg = g.group("cascading")
         cg.set_property("nb_levels", np.uint64(len(cascade.blooms)))
         for i, b in enumerate(cascade.blooms):
-            bg = cg.group(f"bloom{i + 2}")
-            bg.set_dataset("bloom", np.asarray(b.words))
-            bg.set_property("size_bits", np.uint64(b.size_bits))
-            bg.set_property("nb_hash", np.uint64(b.n_hash))
-            bg.set_property("seed", np.uint64(b.user_seed))
-        tvals = limbs_to_words64(cascade.t4) if len(cascade.t4) else \
-            np.zeros((0, words), np.uint64)
-        if tvals.shape[1] < words and len(tvals):
-            tvals = np.concatenate(
-                [tvals,
-                 np.zeros((len(tvals), words - tvals.shape[1]), np.uint64)],
-                axis=1)
-        cg.set_dataset("t4", tvals[:, :words] if len(tvals) else tvals)
+            _save_bloom_group(cg.group(f"bloom{i + 2}"), b)
+        cg.set_dataset("t4", _limbs_to_words_padded(cascade.t4, words))
     storage.set_state_bit(STATE_DEBLOOM_DONE)
 
 
 def load_debloom(storage: Storage, w32: int) -> np.ndarray | None:
+    """The full cFP set (exactness artifact) from /debloom."""
     g = storage.group("debloom")
-    rec = g.get_dataset("cfp")
+    rec = g.get_dataset("cfp_all")
+    if rec is None:
+        rec = g.get_dataset("cfp")
     if rec is None:
         return None
     return words64_to_limbs(rec, w32)

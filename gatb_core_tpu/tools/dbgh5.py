@@ -42,6 +42,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also output kmers in kff format")
     p.add_argument("-solidity-kind", dest="solidity_kind", default="sum",
                    choices=["sum", "min", "max", "one", "all", "custom"])
+    # postsolid stage kinds (reference flag names STR_BLOOM_KIND /
+    # STR_DEBLOOM_KIND / STR_MPHF_TYPE; defaults = reference defaults)
+    p.add_argument("-bloom", dest="bloom", default="neighbor",
+                   choices=["none", "basic", "cache", "neighbor"])
+    p.add_argument("-debloom", dest="debloom", default="cascading",
+                   choices=["none", "original", "cascading"])
+    p.add_argument("-debloom-impl", dest="debloom_impl", default="minimizer",
+                   choices=["basic", "minimizer"],
+                   help="accepted for reference compat (both impls "
+                        "produce the same cFP set here)")
+    p.add_argument("-mphf", dest="mphf", default="boophf",
+                   choices=["none", "boophf", "emphf"])
+    p.add_argument("-branching-nodes", dest="branching", default="stored",
+                   choices=["none", "stored"])
     p.add_argument("-verbose", dest="verbose", type=int, default=1)
     # execution-plan flags (ConfigurationAlgorithm inputs,
     # SortingCountAlgorithm.cpp:216-217): -max-memory/-max-disk size the
@@ -83,12 +97,26 @@ def main(argv=None) -> int:
         else int(args.abundance_min)
     out = args.out or (args.input.split(",")[0].rsplit(".", 1)[0] + ".h5")
 
+    # execution plan (ConfigurationAlgorithm, Graph.cpp:366): -max-memory /
+    # -max-disk / -nb-passes are contracts — they size the DSK pass loop
+    # and the per-dispatch superbatch, exactly like the reference's
+    # fillSolidKmers memory guards (SortingCountAlgorithm.cpp:1500-1540)
+    nb_passes = _plan_nb_passes(args)
+    # bound live extraction rows by the memory budget: a sorted superbatch
+    # costs ~32 B/row (limb planes + validity + sort temporaries)
+    superbatch_rows = min(1 << 24,
+                          max(1 << 16, args.max_memory * (1 << 20) // 32))
+
     t0 = time.time()
     graph = Graph.create(
         bank=args.input, kmer_size=args.kmer_size, abundance_min=amin,
         abundance_max=args.abundance_max,
         minimizer_size=args.minimizer_size, output=out,
-        histo_max=args.histo_max)
+        histo_max=args.histo_max, nb_passes=nb_passes,
+        superbatch_rows=superbatch_rows,
+        bloom_kind=args.bloom, debloom_kind=args.debloom,
+        mphf_kind=args.mphf,
+        build_branching=args.branching != "none")
     elapsed = time.time() - t0
 
     if args.kff:

@@ -43,7 +43,12 @@ def test_bloom_params():
     assert size == 12000
     assert n_hash == 8  # floor(0.7*12)
     assert 5 < debloom_nbits_per_kmer(31, cascading=False) < 12
-    assert debloom_nbits_per_kmer(31, cascading=True) == 9
+    # cascading uses the reference's per-k rvalues[k][1] table
+    # (DebloomAlgorithm.pri:27), rounded through float32
+    assert debloom_nbits_per_kmer(31, cascading=True) == \
+        float(np.float32(6.03437))
+    assert debloom_nbits_per_kmer(63, cascading=True) == \
+        float(np.float32(6.38975))
 
 
 def test_abundance_discretization_table():

@@ -56,11 +56,19 @@ def test_cfp_members_are_bloom_fp():
 
 
 def test_bloom_sizing_formulas():
+    # reference arithmetic is float32 (BloomAlgorithm.cpp:159-165: NBITS is
+    # a C float; size = (u_int64_t)(n * NBITS) multiplies in float32)
+    import math
+    import numpy as np
+
     k = 31
     graph = _graph(k, seed=2)
     res = build_debloom(graph.solid_limbs, k, cascading=False)
-    import math
-    exp_nbits = math.log(16 * k * math.log(2) ** 2) / math.log(2) ** 2
-    assert abs(res.info["nbits_per_kmer"] - exp_nbits) < 1e-9
-    assert res.info["bloom_size_bits"] == max(
-        64, int(graph.nb_nodes * exp_nbits))
+    exp_nbits = float(np.float32(
+        math.log(16 * k * math.log(2) ** 2) / math.log(2) ** 2))
+    assert res.info["nbits_per_kmer"] == exp_nbits
+    assert res.info["bloom_size_bits"] == int(
+        np.float32(graph.nb_nodes) * np.float32(exp_nbits))
+    # cascading: per-k rvalues table (DebloomAlgorithm.pri:27)
+    res2 = build_debloom(graph.solid_limbs, k, cascading=True)
+    assert res2.info["nbits_per_kmer"] == float(np.float32(6.03437))
