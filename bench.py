@@ -8,14 +8,19 @@ uniformly (~30x coverage) — same data the reference baseline (dbgh5,
 all CPU cores, see BASELINE.md "Measured") is run on.
 
 Round-2 pipeline (one device dispatch for the whole dataset):
-  extraction (lax.map over 4096-read chunks, minimizers skipped — the
-  single-pass path never consumes them) -> ONE power-of-two Pallas tiled
-  bitonic sort of all ~23.6M (hi, lo) kmer limb planes (VMEM tile sorts +
-  fused intra-tile merge sweeps, ops/pallas_sort.py) -> scatter-free
-  distinct reduce (searchsorted/gather, ops/sortops.count_sorted_planes).
+  extraction (lax.map over 16k-read chunks, minimizers skipped — the
+  single-pass path never consumes them) -> ONE lax.sort of all ~23.6M
+  (hi, lo) kmer limb planes (no padding; XLA's sort measured 3.9x faster
+  than the tiled Pallas bitonic on v5e) -> scan-based distinct reduce +
+  compaction sort (ops/sortops.count_sorted_planes; random gathers and
+  scatters measured ~50M elem/s here, so the reduce uses only
+  cumsum/associative scans and sorts).
 Only scalars (n_distinct, total, checksums) leave the device: the remote
 TPU tunnel ships every fetched output at 25-250 MB/s, so fetching tables
 would measure the link, not the chip (BASELINE.md round-1 notes).
+The timed unit is REPS chained full runs inside one dispatch (each rep's
+input salted by the previous rep's checksum), amortizing the tunnel's
+per-call round trip while defeating its execution cache.
 """
 
 import json
@@ -66,14 +71,15 @@ def main():
     import jax.numpy as jnp
 
     from gatb_core_tpu.ops.kmer_ops import extract_kmers, nb_limbs
-    from gatb_core_tpu.ops.sortops import count_planes, _next_pow2
+    from gatb_core_tpu.ops.sortops import count_planes
 
     K = 31
-    B = 4096            # reads per extraction chunk
+    B = 16384           # reads per extraction chunk
     n_reads_env = int(os.environ.get("GATB_BENCH_READS", 200_000))
     reads = make_dataset(n_reads=n_reads_env)
     full_dataset = n_reads_env == 200_000
     n_reads, read_len = reads.shape
+    B = min(B, n_reads)
     n_batches = n_reads // B
     reads = reads[:n_batches * B]
     total_reads = n_batches * B
@@ -81,18 +87,19 @@ def main():
     w = nb_limbs(K)
     spare = (2 * K) % 32 != 0
     P = read_len - K + 1
-    n_rows = n_batches * B * P
-    cap = _next_pow2(n_rows)
     CAP_OUT = 1 << 21   # > EXPECTED_DISTINCT, bounds the reduce output
+    # REPS > 1 chains multiple runs inside one dispatch (amortizes the
+    # tunnel round trip) — but the fori_loop-wrapped program has been
+    # observed to hang the remote compile service, so default to 1
+    REPS = int(os.environ.get("GATB_BENCH_REPS", 1))
 
     jvalid = jnp.ones((B, read_len), bool)
     jlengths = jnp.full((B,), read_len, jnp.int32)
 
-    @jax.jit
-    def count_all(all_codes, salt):
+    def count_once(all_codes, salt):
         # `salt` defeats the remote-execution cache (identical (program,
         # input) pairs are served from a tunnel cache, BASELINE.md notes);
-        # salt=0 preserves the reference dataset for the warmup check.
+        # salt=0 preserves the reference dataset.
         all_codes = (all_codes + salt) & 3
 
         def ext(codes):
@@ -104,36 +111,62 @@ def main():
         planes, val = jax.lax.map(ext, all_codes)
         flat = tuple(p.reshape(-1) for p in planes)
         fv = val.reshape(-1)
-        pad = cap - n_rows
-        if pad:
-            flat = tuple(jnp.concatenate(
-                [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
-            fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
+        # lax.sort needs no power-of-two padding: sort the exact row count
         out_p, counts, n, overflow = count_planes(
             flat, fv, spare_bits=spare, cap_out=CAP_OUT)
         # order+count sensitive checksum of the distinct table (scalars only
-        # leave the device)
+        # leave the device; the tunnel ships fetched outputs at 25-250MB/s)
         idx = jax.lax.broadcasted_iota(jnp.uint32, (CAP_OUT,), 0)
         weights = idx * jnp.uint32(2654435761) + counts.astype(jnp.uint32)
         chks = [jnp.sum(p * weights, dtype=jnp.uint32) for p in out_p]
         total = jnp.sum(counts)  # < 2^31 for this dataset
-        return (n, total, overflow) + tuple(chks)
+        return n, total, overflow, chks
+
+    @jax.jit
+    def count_repeated(all_codes, salt0):
+        """REPS full counting runs inside one dispatch, each rep's input
+        salted by the previous rep's checksum (data-dependent chaining:
+        the remote tunnel caches identical executions and does not
+        honor block_until_ready — BASELINE.md measurement notes).
+        With REPS=1 this is a single plain run (no loop wrapper)."""
+        if REPS == 1:
+            n, total, ov, chks = count_once(all_codes, salt0)
+            return (n.reshape(1), total.reshape(1), ov.reshape(1),
+                    chks[0].reshape(1))
+
+        def body(i, carry):
+            salt, ns, totals, ovs, chk0s = carry
+            n, total, ov, chks = count_once(all_codes, salt)
+            ns = ns.at[i].set(n)
+            totals = totals.at[i].set(total)
+            ovs = ovs.at[i].set(ov)
+            chk0s = chk0s.at[i].set(chks[0])
+            return ((chks[0] & jnp.uint32(3)).astype(jnp.uint8),
+                    ns, totals, ovs, chk0s)
+
+        init = (salt0, jnp.zeros((REPS,), jnp.int32),
+                jnp.zeros((REPS,), jnp.int32), jnp.zeros((REPS,), bool),
+                jnp.zeros((REPS,), jnp.uint32))
+        _, ns, totals, ovs, chk0s = jax.lax.fori_loop(0, REPS, body, init)
+        return ns, totals, ovs, chk0s
 
     dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))
-    out = count_all(dataset, jnp.uint8(0))   # warmup/compile + exactness
+    t0 = time.time()
+    out = count_repeated(dataset, jnp.uint8(0))   # warmup/compile
     vals = [np.asarray(x) for x in out]
-    assert not bool(vals[2]), "CAP_OUT overflow — raise CAP_OUT"
-    assert int(vals[1]) == n_batches * B * P, "total kmers mismatch"
+    t_warm = time.time() - t0
+    assert not vals[2].any(), "CAP_OUT overflow — raise CAP_OUT"
+    assert int(vals[1][0]) == total_reads * P, "total kmers mismatch"
     if full_dataset:
-        assert int(vals[0]) == EXPECTED_DISTINCT, \
-            f"distinct {int(vals[0])} != {EXPECTED_DISTINCT}"
+        assert int(vals[0][0]) == EXPECTED_DISTINCT, \
+            f"distinct {int(vals[0][0])} != {EXPECTED_DISTINCT}"
 
     best = None
-    for trial in range(3):  # best-of-3: the remote link is high-variance
+    for trial in range(3):  # best-of-3 calls (each = REPS chained runs)
         t0 = time.time()
-        out = count_all(dataset, jnp.uint8(trial + 1))
+        out = count_repeated(dataset, jnp.uint8(trial + 1))
         _ = [np.asarray(x) for x in out]
-        elapsed = time.time() - t0
+        elapsed = (time.time() - t0) / REPS
         best = elapsed if best is None else min(best, elapsed)
     reads_per_s = total_reads / best
 

@@ -226,14 +226,51 @@ class LeonCompressor:
                 pass
 
 
+def _parse_decoded(raw: bytes) -> list:
+    """FASTA/FASTQ bytes -> Sequence list (for BankLeon iteration)."""
+    lines = raw.decode("ascii").splitlines()
+    sequences = []
+    if lines and lines[0].startswith("@"):  # fastq
+        for i in range(0, len(lines) - 3, 4):
+            sequences.append(Sequence(lines[i][1:], lines[i + 1],
+                                      lines[i + 3]))
+    else:
+        header = None
+        data: list = []
+        for line in lines:
+            if line.startswith(">"):
+                if header is not None:
+                    sequences.append(Sequence(header, "".join(data), None))
+                header = line[1:]
+                data = []
+            else:
+                data.append(line)
+        if header is not None:
+            sequences.append(Sequence(header, "".join(data), None))
+    return sequences
+
+
 class LeonDecompressor:
     """Decompressor driver (Leon::executeDecompression equivalent)."""
 
     def decompress(self, in_path: str, out_path: str | None = None):
         with open(in_path, "rb") as f:
             magic = f.read(6)
-            if magic != MAGIC:
-                raise ValueError("not a gatb_core_tpu leon file")
+        if magic != MAGIC:
+            # reference .leon container (HDF5): decode byte-exactly like
+            # the reference leon binary (compression/leon_ref.py)
+            from .leon_ref import is_leon_ref_container, leon_ref_decompress
+
+            if is_leon_ref_container(in_path):
+                raw = leon_ref_decompress(in_path)
+                if out_path:
+                    with open(out_path, "wb") as g:
+                        g.write(raw)
+                return _parse_decoded(raw)
+            raise ValueError("not a leon file (neither GTBL1 nor the "
+                             "reference HDF5 container)")
+        with open(in_path, "rb") as f:
+            magic = f.read(6)
             is_fastq, k, nb_reads, dict_n = struct.unpack("<BIIQ",
                                                           f.read(17))
             (dlen,) = struct.unpack("<Q", f.read(8))

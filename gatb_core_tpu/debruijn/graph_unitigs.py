@@ -242,47 +242,31 @@ def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int) \
         flips[:, 4 + nt] = np.asarray(
             jnp.any(fwd_in != cands[:, 4 + nt], axis=-1))
 
-    src_list, dst_list = [], []
-    for row in range(m):
-        node = last_nodes[row]
-        s = last_strands[row]
-        # out-extensions of the oriented kmer (node, s):
-        #   s==0 relative to *canonical* of that node? node_strand already
-        #   encodes orientation within the unitig; if the oriented kmer is
-        #   the canonical forward (s==0), its out-extensions are candidate
-        #   slots 0-3; else slots 4+(nt^2) entered in flipped sense.
-        for nt in range(4):
-            if s == 0:
-                slot = nt
-                j = ranks[row, slot]
-                if j < 0:
-                    continue
-                enter_strand = flips[row, slot]
-            else:
-                slot = 4 + (nt ^ 2)
-                j = ranks[row, slot]
-                if j < 0:
-                    continue
-                enter_strand = 1 - flips[row, slot]
-            # neighbor node j entered with strand enter_strand; map to
-            # oriented unitig: node j sits in unitig v at pos p with strand t
-            v = us.node_unitig[j]
-            t = us.node_strand[j]
-            p = us.node_pos[j]
-            if enter_strand == t:
-                # same sense as stored: must be at head (pos 0) -> (v, 0)
-                if p == 0:
-                    src_list.append(ori_ids[row])
-                    dst_list.append(2 * v)
-                elif lengths[v] == 1:
-                    pass
-            else:
-                if p == lengths[v] - 1:
-                    src_list.append(ori_ids[row])
-                    dst_list.append(2 * v + 1)
-
-    src = np.asarray(src_list, np.int64)
-    dst = np.asarray(dst_list, np.int64)
+    # out-extensions of the oriented kmer (node, s), fully vectorized over
+    # all 2U extremities x 4 nucleotides (the reference does this with an
+    # 8-pass hash join, LinkTigs.cpp:55-120; round-1 looped Python here):
+    # if the oriented kmer is canonical forward (s==0), its out-extensions
+    # are candidate slots 0-3; else slots 4+(nt^2) entered in flipped sense
+    rows = np.arange(m)
+    nts4 = np.arange(4)
+    s_col = last_strands[:, None]
+    slot = np.where(s_col == 0, nts4[None, :], 4 + (nts4[None, :] ^ 2))
+    j = ranks[rows[:, None], slot]                       # (m, 4) neighbor id
+    fl = flips[rows[:, None], slot].astype(np.int8)
+    enter = np.where(s_col == 0, fl, 1 - fl)             # entering strand
+    ok = j >= 0
+    jj = np.maximum(j, 0)
+    v = us.node_unitig[jj]
+    t = us.node_strand[jj]
+    p = us.node_pos[jj]
+    # same sense as stored: must enter at the head (pos 0) -> (v, fwd);
+    # flipped sense: must enter at the tail -> (v, rev)
+    c_fwd = ok & (enter == t) & (p == 0)
+    c_rev = ok & (enter != t) & (p == lengths[v] - 1)
+    ori_mat = np.broadcast_to(ori_ids[:, None], (m, 4))
+    src = np.concatenate([ori_mat[c_fwd], ori_mat[c_rev]]).astype(np.int64)
+    dst = np.concatenate([(2 * v[c_fwd]),
+                          (2 * v[c_rev] + 1)]).astype(np.int64)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     offsets = np.zeros(2 * u_count + 1, np.int64)

@@ -67,6 +67,7 @@ class Simplifications:
         """Mark all kmers of the selected unitigs deleted in the base graph."""
         sel = which[us_node_unitig]
         self.graph.node_state[self._live_index[sel]] |= 1
+        self._compact_cache = None  # live set changed
 
     # ------------------------------------------------------------------
     def remove_tips(self) -> int:
@@ -111,6 +112,17 @@ class Simplifications:
         return n_removed
 
     def _compact(self, limbs, counts):
+        # one recompaction per live-set change (the round-1 version rebuilt
+        # adjacency + unitigs once per remove_* call — 3x per mixed round)
+        cache = getattr(self, "_compact_cache", None)
+        if cache is not None and cache[0] == len(limbs):
+            self._live_index = np.nonzero(self._live())[0]
+            return cache[1], cache[2]
+        us, ug = self._compact_uncached(limbs, counts)
+        self._compact_cache = (len(limbs), us, ug)
+        return us, ug
+
+    def _compact_uncached(self, limbs, counts):
         from .graph import _adjacency_kernel
         from .graph_unitigs import link_unitigs
         import jax.numpy as jnp
@@ -208,9 +220,12 @@ class Simplifications:
                         k + self.BULGE_LEN_KADD)
         backtrack = k + self.BULGE_ALTPATH_KADD
 
-        # candidate bulge: short unitig, single in/out links whose sources
-        # branch (the classic two-path bubble)
-        cand = (lens <= max_bulge) & (deg[0::2] == 1) & (deg[1::2] == 1)
+        # candidate bulge: short (> k bases, <= maxBulgeLength) unitig,
+        # single in/out links; the reference additionally checks the end
+        # node is doubly connected (indegree > 1) — implied here by the
+        # alternative path reaching the same target
+        cand = (lens > k) & (lens <= max_bulge) \
+            & (deg[0::2] == 1) & (deg[1::2] == 1)
         is_bulge = np.zeros(ug.nb_unitigs, bool)
         for ui in np.nonzero(cand)[0]:
             # endpoints: pred (via reverse end) and succ (via forward end)
@@ -218,13 +233,18 @@ class Simplifications:
             pred_rev = ug.out_links(2 * ui + 1)[0]
             start = pred_rev ^ 1   # oriented unitig that enters ui forward
             target = succ
-            # search an alternative path start -> target avoiding ui
-            alt_cov = self._best_alt_path_cov(
-                ug, start, target, avoid=ui,
-                max_depth=8, max_len=lens[ui] + backtrack)
+            # SPAdes maxlen: max(1.1*pathLen, pathLen+3) extensions
+            # (removeBulges, Simplifications.cpp:1474)
+            path_len = int(lens[ui]) - k  # nb extensions of the bulge path
+            maxlen = max(int(path_len * 1.1), path_len + 3)
+            alt_cov = self._hmcp_unitigs(ug, start, target, avoid=ui,
+                                         maxlen=maxlen,
+                                         backtrack_limit=backtrack)
+            # accept: bulge coverage <= alt coverage * 1.1
+            # (Simplifications.cpp:1525)
             if alt_cov is not None and \
-                    alt_cov * self.BULGE_ALTPATH_COVMULT \
-                    > float(ug.mean_abundance[ui]):
+                    float(ug.mean_abundance[ui]) \
+                    <= alt_cov * self.BULGE_ALTPATH_COVMULT:
                 is_bulge[ui] = True
 
         n_removed = int(is_bulge.sum())
@@ -233,30 +253,52 @@ class Simplifications:
         self.stats.bulges_removed += n_removed
         return n_removed
 
-    def _best_alt_path_cov(self, ug: UnitigGraph, start: int, target: int,
-                           avoid: int, max_depth: int, max_len: int):
-        """Depth-bounded most-covered alternative path search
-        (heuristic_most_covered_path analogue, Simplifications.cpp:686-1300).
-        Returns the mean coverage of the best path, or None."""
-        best = [None]
+    def _hmcp_unitigs(self, ug: UnitigGraph, start: int, target: int,
+                      avoid: int, maxlen: int, backtrack_limit: int):
+        """Most-covered alternative path search, unitig flavor — the port
+        of heuristic_most_covered_path_unitigs (Simplifications.cpp:
+        1034-1230): greedy descent in decreasing simple-path abundance
+        with bounded backtracking (nbCalls, a base budget), loop abort,
+        depth budget in extensions, and the length-weighted chain mean
+        (unitigs_chain2abundance, :665-680; single-kmer unitigs contribute
+        nothing, mirroring the pathLen > 0 guard at :1098).
+        Returns the mean coverage of the found path, or None."""
+        k = self.k
+        state = {"calls": 0, "failed": False}
 
-        def dfs(node, depth, length, covs):
-            if length > max_len or depth > max_depth:
-                return
-            for t in ug.out_links(node):
-                if (t >> 1) == avoid:
+        def ulen(t):  # nb extensions of unitig t's simple path
+            return len(ug.sequences[t >> 1]) - k
+
+        def rec(node, budget, visited, lens_, covs_):
+            if budget < -1 or state["failed"]:
+                return None
+            nbrs = sorted(ug.out_links(node),
+                          key=lambda t: -float(ug.mean_abundance[t >> 1]))
+            for t in nbrs:
+                if (t >> 1) == avoid and node == start:
                     continue
-                tlen = len(ug.sequences[t >> 1]) - (self.k - 1)
-                tcov = float(ug.mean_abundance[t >> 1])
                 if t == target:
-                    path_cov = float(np.mean(covs)) if covs else tcov
-                    if best[0] is None or path_cov > best[0]:
-                        best[0] = path_cov
-                    continue
-                dfs(t, depth + 1, length + tlen, covs + [tcov])
+                    total = sum(lens_)
+                    if total == 0:
+                        return None  # NaN mean in the reference: rejected
+                    return sum(l * c for l, c in zip(lens_, covs_)) / total
+                if (t >> 1) in visited:  # loop: abort the whole search
+                    state["failed"] = True
+                    return None
+                tl = ulen(t)
+                state["calls"] += tl + 1
+                nl = lens_ + [tl] if tl > 0 else lens_
+                nc = covs_ + [float(ug.mean_abundance[t >> 1])] \
+                    if tl > 0 else covs_
+                got = rec(t, budget - (tl + 1), visited | {t >> 1}, nl, nc)
+                if state["calls"] >= backtrack_limit:  # HMCP_MAX_DEPTH
+                    state["failed"] = True
+                    return got
+                if got is not None or state["failed"]:
+                    return got
+            return None
 
-        dfs(start, 0, 0, [])
-        return best[0]
+        return rec(start, maxlen, {start >> 1}, [], [])
 
     # ------------------------------------------------------------------
     def simplify(self, max_passes: int = 20) -> SimplifyStats:

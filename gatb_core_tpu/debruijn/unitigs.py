@@ -343,16 +343,25 @@ def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
     ext = poss > 0
     chars[offsets[uids[ext]] + k - 1 + poss[ext]] = nts[last[ext]]
 
-    # heads: full oriented kmer decode
-    from ..kmer.model import revcomp as rc_py
-
+    # heads: full oriented kmer decode, vectorized over all heads
+    # (round 1 decoded per-kmer in Python — scale-hostile at >=100k unitigs)
     head_sel = poss == 0
-    head_vals = kmers_to_py(limbs[head_sel])
-    for v, uid, s in zip(head_vals, uids[head_sel], strands[head_sel]):
-        ov = rc_py(v, k) if s else v
-        base = offsets[uid]
-        for i in range(k):
-            chars[base + i] = nts[(ov >> (2 * (k - 1 - i))) & 3]
+    if head_sel.any():
+        import jax.numpy as jnp
+
+        from ..ops.neighbor_ops import revcomp_limbs
+
+        hl = limbs[head_sel]
+        hs = strands[head_sel]
+        rc = np.asarray(revcomp_limbs(jnp.asarray(hl), k))
+        ol = np.where(hs[:, None] == 0, hl, rc)       # oriented limbs
+        base = offsets[uids[head_sel]]
+        w32 = ol.shape[1]
+        for i in range(k):                             # k vectorized steps
+            bitpos = 2 * (k - 1 - i)
+            jlimb = w32 - 1 - bitpos // 32
+            code = (ol[:, jlimb] >> (bitpos % 32)) & 3
+            chars[base + i] = nts[code.astype(np.uint8)]
     out = []
     buf = chars.tobytes()
     for u in range(nb_unitigs):

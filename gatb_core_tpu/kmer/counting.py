@@ -62,6 +62,8 @@ class CountConfig:
     # pass p keeps kmers with minimizer % nb_passes == p, bounding live
     # HBM per pass; results are pass-invariant (tested)
     nb_passes: int = 1
+    # progress bar (ProgressTimerAndSystem equivalent) when > 0
+    verbose: int = 0
 
     @property
     def auto_cutoff(self) -> bool:
@@ -376,6 +378,21 @@ class SortingCount:
 
         tables: list = []  # (planes tuple, counts, n) distinct tables
         t_merge_total = 0.0
+        # per-phase stopwatches (TimeInfo equivalent; reference dsk emits
+        # fill_partitions / fill_solid_kmers + 1.read/2.sort/3.dump,
+        # PartitionsCommand.cpp:1229-1235)
+        from ..misc.time_info import TimeInfo, Progress
+
+        ti = TimeInfo()
+        try:
+            est_n, est_total, _ = bank.estimate()
+            est_batches = max(1, est_total // max(
+                cfg.batch_reads * builder.L, 1) + 1)
+        except Exception:
+            est_batches = 1
+        progress = Progress(est_batches * nb_passes,
+                            "DSK: counting kmers",
+                            verbose=cfg.verbose > 0)
 
         def flush_group(group, pass_i, first_pass):
             """One superbatch dispatch: stack G batches, count, trim."""
@@ -387,31 +404,34 @@ class SortingCount:
                     group.append((np.zeros((B, L), np.uint8),
                                   np.zeros((B, L), bool),
                                   np.zeros((B,), np.int32), 0))
-            codes = jnp.asarray(np.stack([b[0] for b in group]))
-            valid = jnp.asarray(np.stack([b[1] for b in group]))
-            lengths = jnp.asarray(np.stack([b[2] for b in group]))
+            with ti.section("1.stack"):
+                codes = jnp.asarray(np.stack([b[0] for b in group]))
+                valid = jnp.asarray(np.stack([b[1] for b in group]))
+                lengths = jnp.asarray(np.stack([b[2] for b in group]))
             rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
             # distinct-table capacity: the coverage makes distinct << rows;
             # the overflow flag guards exactness (rare fallback re-runs at
             # full capacity) — same role as the plan's distinct-kmer
             # estimate in the reference (ConfigurationAlgorithm.cpp:308)
             cap_out = max(256, rows // 4)
-            out = _superbatch_count(
-                codes, valid, lengths, jnp.int32(pass_i),
-                k=k, m=cfg.minimizer_size, nb_passes=nb_passes, spare=spare,
-                cap_out=cap_out)
-            if bool(out[3]):  # overflow: rerun unbounded (always exact)
+            with ti.section("2.sort"):
                 out = _superbatch_count(
                     codes, valid, lengths, jnp.int32(pass_i),
                     k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
-                    spare=spare, cap_out=None)
-            out_p, counts, n, _, nv, ni = out
-            if first_pass:
-                valid_scalars.append(nv)
-                inside_scalars.append(ni)
-            n = int(n)  # one scalar fetch per superbatch
+                    spare=spare, cap_out=cap_out)
+                if bool(out[3]):  # overflow: rerun unbounded (always exact)
+                    out = _superbatch_count(
+                        codes, valid, lengths, jnp.int32(pass_i),
+                        k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                        spare=spare, cap_out=None)
+                out_p, counts, n, _, nv, ni = out
+                if first_pass:
+                    valid_scalars.append(nv)
+                    inside_scalars.append(ni)
+                n = int(n)  # one scalar fetch per superbatch
             cap = _next_pow2(max(n, 256))
             tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
+            progress.inc(len(group))
 
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
         # with minimizer % nb_passes == p; each pass streams the whole bank
@@ -428,12 +448,14 @@ class SortingCount:
                 flush_group(group, pass_i, first_pass)
 
         t_fill = time.time() - t0
+        progress.finish()
 
         # merge the per-superbatch distinct tables (different passes are
         # disjoint by construction; same-pass tables overlap) — smallest
         # pair first, one bitonic merge level + reduce per pair
         t1 = time.time()
-        uniq, counts = _merge_table_list(tables, w)
+        with ti.section("3.merge"):
+            uniq, counts = _merge_table_list(tables, w)
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))
         kmers_nb_invalid = int(sum(int(np.asarray(v))
@@ -476,6 +498,15 @@ class SortingCount:
             "time_fill": t_fill,
             "time_merge": t_merge,
         }
+        # reference-style per-phase tree (fill_partitions/fill_solid_kmers
+        # + phase breakdown, PartitionsCommand.cpp:1229-1235): here 'fill'
+        # = host parse/stack, 'solid' = device sort/reduce/merge
+        phases = ti.get_properties("fillsolid_time")
+        info.update(phases)
+        info["time.fill_partitions"] = round(
+            t_fill - ti.entries.get("2.sort", 0.0), 3)
+        info["time.fill_solid_kmers"] = round(
+            ti.entries.get("2.sort", 0.0) + t_merge, 3)
         return CountResult(solid_kmers, solid_counts, histogram, info,
                            cfg)
 
@@ -608,33 +639,137 @@ def solidity_check(counts: np.ndarray, kind: str, thresholds,
     raise ValueError(f"unknown solidity kind {kind!r}")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "m", "spare", "nb_banks",
+                                    "cap_out"))
+def _superbatch_count_multibank(codes, valid, lengths, bank_ids, *, k: int,
+                                m: int, spare: bool, nb_banks: int,
+                                cap_out: int | None = None):
+    """Multibank superbatch: ONE sort over the union of all banks' kmers
+    with the bank id riding as payload; the reduce yields per-bank count
+    columns (reference one-pass multibank matrices,
+    PartitionsCommand.cpp:1855-2100). bank_ids: (G, B) per-read bank."""
+    from ..ops.sortops import count_planes_multibank, _next_pow2
+
+    w = nb_limbs(k)
+
+    def ext(args):
+        c, v, l, bid = args
+        kb = extract_kmers(c, v, l, k, m, with_minimizers=False)
+        planes = tuple(kb.kmers[..., j].reshape(-1) for j in range(w))
+        P = kb.valid.shape[-1]
+        kbank = jnp.broadcast_to(bid[:, None], kb.valid.shape).reshape(-1)
+        return planes, kb.valid.reshape(-1), kbank
+
+    planes, pv, pbank = jax.lax.map(ext, (codes, valid, lengths, bank_ids))
+    flat = tuple(p.reshape(-1) for p in planes)
+    fv = pv.reshape(-1)
+    fb = pbank.reshape(-1)
+    n_rows = flat[0].shape[0]
+    cap = _next_pow2(max(n_rows, 256))
+    pad = cap - n_rows
+    if pad:
+        flat = tuple(jnp.concatenate(
+            [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
+        fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
+        fb = jnp.concatenate([fb, jnp.zeros((pad,), fb.dtype)])
+    return count_planes_multibank(flat, fv, fb, nb_banks, spare_bits=spare,
+                                  cap_out=cap_out)
+
+
 def count_kmers_multibank(banks, kmer_size: int = 31,
                           abundance_min=2, abundance_max=MAX_INT32,
                           solidity_kind: str = "sum", solid_vec=None,
+                          batch_reads: int = 1024, batch_len: int = 256,
+                          superbatch_rows: int = 1 << 22,
                           **kwargs) -> MultiBankCountResult:
-    """Count each bank separately, join per-bank count columns, apply the
-    solidity kind. ``abundance_min``/``abundance_max`` may be scalars or
-    per-bank lists (reference custom thresholds)."""
+    """One-pass multibank counting: all banks stream through ONE counting
+    pipeline with per-bank count columns riding the sort (reference
+    _multibank variants, PartitionsCommand.cpp:1855-2100 — NOT B
+    independent passes). ``abundance_min``/``abundance_max`` may be scalars
+    or per-bank lists (reference custom thresholds)."""
     from ..bank.fasta import open_bank
+    from ..ops.sortops import merge_tables_planes_multi, _next_pow2
 
     banks = [open_bank(b) for b in banks]
     nb = len(banks)
-    results = [count_kmers(b, kmer_size=kmer_size, abundance_min=1,
-                           **kwargs) for b in banks]
+    k = kmer_size
     w = nb_limbs(kmer_size)
+    spare = (2 * k) % 32 != 0
+    builder = _BatchBuilder(k, batch_reads, batch_len)
+    rows_per_batch = batch_reads * (builder.L - k + 1)
+    G = max(1, int(superbatch_rows) // rows_per_batch)
 
-    # merge-join the per-bank sorted tables on host
-    all_k = np.concatenate([r.solid_kmers for r in results], axis=0)
-    uniq = np.unique(all_k, axis=0) if len(all_k) else all_k
-    # np.unique sorts rows lexicographically == integer order (BE limbs)
-    counts = np.zeros((len(uniq), nb), np.int32)
-    for j, r in enumerate(results):
-        if len(r.solid_kmers) == 0:
-            continue
-        # locate each bank kmer row in uniq (both sorted): searchsorted on
-        # a structured view
-        idx = _rows_searchsorted(uniq, r.solid_kmers)
-        counts[idx, j] = r.solid_counts
+    def produce():
+        """(batch, bank_id) stream; the builder is flushed at bank
+        boundaries so every batch belongs to one bank."""
+        for j, bk in enumerate(banks):
+            for seq in bk:
+                for batch in builder.add(seq.data):
+                    yield batch, j
+            if builder.row:
+                yield builder.flush(), j
+
+    tables: list = []  # (planes, counts_tuple, n)
+
+    def flush_group(group):
+        g = len(group)
+        if g < G:
+            gp = _next_pow2(g)
+            B, L = group[0][0][0].shape
+            while len(group) < gp:
+                group.append(((np.zeros((B, L), np.uint8),
+                               np.zeros((B, L), bool),
+                               np.zeros((B,), np.int32), 0), 0))
+        codes = jnp.asarray(np.stack([b[0][0] for b in group]))
+        valid = jnp.asarray(np.stack([b[0][1] for b in group]))
+        lengths = jnp.asarray(np.stack([b[0][2] for b in group]))
+        bank_ids = jnp.asarray(np.stack(
+            [np.full((group[0][0][0].shape[0],), b[1], np.uint32)
+             for b in group]))
+        rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
+        cap_out = max(256, rows // 4)
+        out = _superbatch_count_multibank(
+            codes, valid, lengths, bank_ids, k=k, m=10, spare=spare,
+            nb_banks=nb, cap_out=cap_out)
+        if bool(out[3]):
+            out = _superbatch_count_multibank(
+                codes, valid, lengths, bank_ids, k=k, m=10, spare=spare,
+                nb_banks=nb, cap_out=None)
+        out_p, counts_t, n, _ = out
+        n = int(n)
+        capn = _next_pow2(max(n, 256))
+        tables.append((tuple(p[:capn] for p in out_p),
+                       tuple(c[:capn] for c in counts_t), n))
+
+    group: list = []
+    for item in _prefetch(produce(), depth=4):
+        group.append(item)
+        if len(group) == G:
+            flush_group(group)
+            group = []
+    if group:
+        flush_group(group)
+
+    # pairwise merge (smallest first), count columns riding each merge
+    tables = [t for t in tables if t[2] > 0]
+    while len(tables) > 1:
+        tables.sort(key=lambda t: t[2])
+        (pa, ca, na), (pb, cb, nbl) = tables[0], tables[1]
+        cap_out = _next_pow2(max(na + nbl, 256))
+        planes, counts_t, n, _ = merge_tables_planes_multi(
+            pa, ca, jnp.int32(na), pb, cb, jnp.int32(nbl), cap_out=cap_out)
+        tables = tables[2:] + [(planes, counts_t, int(n))]
+
+    if tables:
+        planes, counts_t, n = tables[0]
+        uniq = np.stack([np.asarray(p)[:n] for p in planes], axis=1) \
+            if n else np.zeros((0, w), np.uint32)
+        counts = np.stack([np.asarray(c)[:n] for c in counts_t], axis=1) \
+            if n else np.zeros((0, nb), np.int32)
+    else:
+        uniq = np.zeros((0, w), np.uint32)
+        counts = np.zeros((0, nb), np.int32)
 
     amin = abundance_min if isinstance(abundance_min, (list, tuple)) \
         else [abundance_min]

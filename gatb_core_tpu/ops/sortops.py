@@ -453,8 +453,76 @@ def _binsearch_i32(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return lo
 
 
+def _run_stats(planes, inv):
+    """Shared run detection of a sorted stream: (starts, rid, n, is_end).
+
+    rid = run id per row (nondecreasing); is_end marks each run's last
+    valid row. All elementwise/cumsum — no gathers (random gathers and
+    scatters measured ~50M elem/s on v5e; scans and sorts are the fast
+    primitives, see BASELINE.md round-2 notes).
+    """
+    neq = planes[0][1:] != planes[0][:-1]
+    for p in planes[1:]:
+        neq = neq | (p[1:] != p[:-1])
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq]) & ~inv
+    rid = jnp.cumsum(starts.astype(I32)) - 1
+    n = rid[-1] + 1
+    next_inv = jnp.concatenate([inv[1:], jnp.ones((1,), bool)])
+    next_neq = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    is_end = (~inv) & (next_neq | next_inv)
+    return starts, rid, n, is_end
+
+
+def _carry_scan(values, marks):
+    """Forward-propagate the value at each marked row (segmented carry):
+    out[i] = values[j] for the largest marked j <= i. One associative scan."""
+    def comb(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va), ha | hb
+
+    out, _ = jax.lax.associative_scan(comb, (jnp.where(marks, values, 0),
+                                             marks))
+    return out
+
+
+def _run_weights(inv, starts, is_end, weights):
+    """Per-run total weight, materialized at each run's END row (0 off-end):
+    inclusive cumsum minus the run-start's exclusive cumsum (carried)."""
+    w_ = jnp.where(inv, 0, weights.astype(I32))
+    cumw = jnp.cumsum(w_)
+    sval = _carry_scan(cumw - w_, starts)
+    return jnp.where(is_end, cumw - sval, 0)
+
+
+def _compact_ends(planes, rid, is_end, counts_at_end, n, cap_out: int):
+    """Move each run's END row (kmer + count) to position rid: ONE
+    single-key sort by (is_end ? rid : sentinel) with the planes and the
+    count column as payloads — stream compaction as a sort, because
+    scatters/gathers are the slow path on this hardware."""
+    n_rows = planes[0].shape[0]
+    key = jnp.where(is_end, rid.astype(U32), U32(0xFFFFFFFF))
+    sorted_ = jax.lax.sort((key,) + tuple(planes)
+                           + tuple(c.astype(U32) for c in counts_at_end),
+                           num_keys=1)
+    take = min(cap_out, n_rows)
+    live = jax.lax.broadcasted_iota(I32, (take,), 0) < n
+
+    def fit(x, fill):
+        x = jnp.where(live, x[:take], fill)
+        if take < cap_out:
+            x = jnp.concatenate([x, jnp.full((cap_out - take,), fill,
+                                             x.dtype)])
+        return x
+
+    w = len(planes)
+    out_planes = tuple(fit(s, U32(0xFFFFFFFF)) for s in sorted_[1:1 + w])
+    out_counts = tuple(fit(s.astype(I32), I32(0)) for s in sorted_[1 + w:])
+    return out_planes, out_counts
+
+
 def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
-    """Reduce sorted limb planes into a compacted distinct table, scatter-free.
+    """Reduce sorted limb planes into a compacted distinct table.
 
     planes: tuple of (N,) uint32, sorted ascending by big-endian lex order;
     inv: (N,) bool, True rows must all sit at the tail (sentinel region);
@@ -463,34 +531,78 @@ def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
 
     Returns (out_planes tuple of (cap_out,), counts (cap_out,), n, overflow).
     Replaces the reference's KxmerPointer merge+CounterBuilder run-length
-    loop (PartitionsCommand.cpp:1600-1800) with: run starts -> run ids ->
-    searchsorted(run_id, arange) start positions -> gathers + cumsum diffs.
+    loop (PartitionsCommand.cpp:1600-1800) with: run detection + segmented
+    carry scans for per-run weights + one compaction sort — scans and sorts
+    only (gathers/scatters are pathologically slow on this TPU stack).
     """
     n_rows = planes[0].shape[0]
     if cap_out is None:
         cap_out = n_rows
-    neq = planes[0][1:] != planes[0][:-1]
-    for p in planes[1:]:
-        neq = neq | (p[1:] != p[:-1])
-    starts = jnp.concatenate([jnp.ones((1,), bool), neq]) & ~inv
-    sid = jnp.cumsum(starts.astype(I32))              # inclusive run count
-    n = sid[-1]                                       # number of runs
-    rid = jnp.where(inv, n, sid - 1)                  # nondecreasing
-    targets = jax.lax.broadcasted_iota(I32, (cap_out + 1,), 0)
-    start_pos = _binsearch_i32(rid, targets)
+    starts, rid, n, is_end = _run_stats(planes, inv)
     if weights is None:
-        w_ = jnp.ones((n_rows,), I32)
-    else:
-        w_ = weights.astype(I32)
-    w_ = jnp.where(inv, 0, w_)
-    cumw = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(w_)])
-    counts = cumw[start_pos[1:]] - cumw[start_pos[:-1]]
-    safe = jnp.minimum(start_pos[:-1], n_rows - 1)
-    live = targets[:-1] < n
-    out_planes = tuple(jnp.where(live, p[safe], U32(0xFFFFFFFF))
-                       for p in planes)
-    counts = jnp.where(live, counts, 0)
+        weights = jnp.ones((n_rows,), I32)
+    counts_at_end = _run_weights(inv, starts, is_end, weights)
+    out_planes, (counts,) = _compact_ends(planes, rid, is_end,
+                                          (counts_at_end,), n, cap_out)
     return out_planes, counts, n, n > cap_out
+
+
+def count_sorted_planes_multi(planes, inv, weights_list,
+                              cap_out: int | None = None):
+    """Multi-weight variant of count_sorted_planes: one run detection,
+    per-bank count columns via per-bank segmented carry scans (the
+    reference's multibank kmer matrices, PartitionsCommand.cpp:1855-2100,
+    in one pass).
+
+    weights_list: tuple of (N,) int32 per-bank weights.
+    Returns (out_planes, counts_list tuple of (cap_out,), n, overflow).
+    """
+    n_rows = planes[0].shape[0]
+    if cap_out is None:
+        cap_out = n_rows
+    starts, rid, n, is_end = _run_stats(planes, inv)
+    ends = tuple(_run_weights(inv, starts, is_end, w_)
+                 for w_ in weights_list)
+    out_planes, counts_out = _compact_ends(planes, rid, is_end, ends, n,
+                                           cap_out)
+    return out_planes, counts_out, n, n > cap_out
+
+
+@functools.partial(jax.jit, static_argnames=("cap_out", "use_pallas"))
+def merge_tables_planes_multi(pa, ca_list, na, pb, cb_list, nb,
+                              cap_out: int, use_pallas: bool | None = None):
+    """merge_tables_planes with B per-bank count columns riding the merge
+    as extra least-significant key planes (order within equal-kmer runs is
+    irrelevant: each column is summed per run downstream)."""
+    from .pallas_sort import _merge_sorted_runs
+
+    ca_cap, cb_cap = pa[0].shape[0], pb[0].shape[0]
+    if ca_cap != cb_cap:
+        cap = max(ca_cap, cb_cap)
+
+        def padto(p_list, c_list):
+            padn = cap - p_list[0].shape[0]
+            if padn:
+                p_list = tuple(jnp.concatenate(
+                    [p, jnp.full((padn,), U32(0xFFFFFFFF))]) for p in p_list)
+                c_list = tuple(jnp.concatenate(
+                    [c.astype(I32), jnp.zeros((padn,), I32)])
+                    for c in c_list)
+            return p_list, c_list
+
+        pa, ca_list = padto(tuple(pa), tuple(ca_list))
+        pb, cb_list = padto(tuple(pb), tuple(cb_list))
+    cap = pa[0].shape[0]
+    planes = tuple(jnp.concatenate([x, y]) for x, y in zip(pa, pb))
+    wts = tuple(jnp.concatenate([x, y]).astype(U32)
+                for x, y in zip(ca_list, cb_list))
+    merged = _merge_sorted_runs(planes + wts, cap)
+    w = len(pa)
+    idx = jax.lax.broadcasted_iota(I32, (2 * cap,), 0)
+    inv = idx >= (na + nb)
+    return count_sorted_planes_multi(
+        merged[:w], inv, tuple(x.astype(I32) for x in merged[w:]),
+        cap_out=cap_out)
 
 
 def sort_planes(planes, n_keys: int | None = None,
@@ -550,6 +662,32 @@ def count_planes(planes, valid, weights=None, spare_bits: bool = False,
         kplanes = out[:n_keys]
     w_ = out[n_keys].astype(I32) if weights is not None else None
     return count_sorted_planes(kplanes, inv, weights=w_, cap_out=cap_out)
+
+
+def count_planes_multibank(planes, valid, bank_ids, nb_banks: int,
+                           spare_bits: bool = False,
+                           cap_out: int | None = None,
+                           use_pallas: bool | None = None):
+    """One-pass multibank sort + reduce: kmers from all banks sort
+    together with their bank id riding as a payload plane; the reduce
+    yields per-bank count columns (reference per-bank kmer matrices,
+    PartitionsCommand.cpp:1855-2100 — but in ONE pass over the union
+    instead of per-bank passes)."""
+    enc, extra = _encode_invalid(planes, valid, spare_bits)
+    n_keys = len(enc)
+    out = sort_planes(enc + (bank_ids.astype(U32),), n_keys=n_keys,
+                      use_pallas=use_pallas)
+    if extra:
+        inv = out[0] != 0
+        kplanes = out[1:n_keys]
+    else:
+        n_valid = jnp.sum(valid)
+        idx = jax.lax.broadcasted_iota(I32, (enc[0].shape[0],), 0)
+        inv = idx >= n_valid
+        kplanes = out[:n_keys]
+    sbank = out[n_keys]
+    weights = tuple((sbank == U32(b)).astype(I32) for b in range(nb_banks))
+    return count_sorted_planes_multi(kplanes, inv, weights, cap_out=cap_out)
 
 
 def pad_planes_pow2(planes, counts=None, min_cap: int = 256):
