@@ -81,10 +81,28 @@ class OAHash:
 
 class Hash16:
     """Insert/increment hash with *sorted* iteration (Hash16.hpp:50-343:
-    chained block-allocated table; iteration sorts — matched here)."""
+    chained block-allocated table; iteration sorts — matched here).
+
+    Reference role note: PartitionsByHashCommand uses Hash16 to count
+    partitions LARGER than memory by filling/spilling the table in rounds
+    (PartitionsCommand.cpp:372-460). In this engine that role is served
+    structurally: the DSK plan (kmer/configuration.py, wired through
+    dbgh5 -max-memory/-max-disk/-nb-passes) bounds each pass's superbatch
+    volume, so no single sort ever exceeds the memory budget — this class
+    remains as the API-parity host container (legacy callers, tests).
+    ``max_memory_mb`` bounds the table like the reference ctor arg."""
 
     def __init__(self, max_memory_mb: int = 0):
         self._d: dict[int, int] = {}
+        # ~16B/entry like the reference's cell blocks (Hash16.hpp:84)
+        self._max_items = (max_memory_mb * (1 << 20)) // 16 \
+            if max_memory_mb else 0
+
+    @property
+    def is_full(self) -> bool:
+        """True when the memory budget is reached (callers must flush,
+        like PartitionsByHashCommand's spill rounds)."""
+        return bool(self._max_items) and len(self._d) >= self._max_items
 
     def insert(self, key: int, delta: int = 1) -> None:
         self._d[key] = self._d.get(key, 0) + delta
@@ -170,6 +188,39 @@ class BagCache:
             self.bag._f.write(data)
             self._buf.clear()
         self.bag.flush()
+
+
+class BagPartition:
+    """Bag writing into one collection of an N-way partition
+    (BagPartition.hpp: BagCachePartition caches items then flushes them
+    under the partition's synchronizer into collection ``idx``). Here a
+    partition is a directory of N BagFiles."""
+
+    def __init__(self, directory: str, nb_collections: int,
+                 cache_size: int = 16 * 1024):
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        self.nb_collections = nb_collections
+        self._bags = [BagFile(os.path.join(directory, f"part_{i}"))
+                      for i in range(nb_collections)]
+        self._caches = [BagCache(b, cache_size) for b in self._bags]
+
+    def insert(self, idx: int, value: int) -> None:
+        self._caches[idx].insert(value)
+
+    def flush(self) -> None:
+        for c in self._caches:
+            c.flush()
+
+    def iterator(self, idx: int) -> "IteratorFile":
+        return IteratorFile(self._bags[idx].path)
+
+    def close(self) -> None:
+        self.flush()
+        for b in self._bags:
+            b.close()
 
 
 class IteratorFile:

@@ -462,6 +462,352 @@ class _DnaDecoder:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Reference-container COMPRESSION (decoder-in-the-loop)
+#
+# The encoder simulates the reference decoder's extension automaton exactly
+# (same contains4 probes on the same byte-identical neighbor Bloom), so a
+# stream it emits decodes to the original reads on the reference leon
+# binary — interoperability by construction rather than by mirroring the
+# reference encoder's quirks.
+# ---------------------------------------------------------------------------
+
+
+from .range_coder import RangeEncoder
+
+READ_PER_BLOCK = 50000
+
+
+class _DnaEncoder:
+    def __init__(self, k: int, bloom: NeighborBloom):
+        self.k = k
+        self.bloom = bloom
+        self.kmer_mask = (1 << (2 * k)) - 1
+        self.anchor_index: dict[int, int] = {}
+        self.anchor_list: list[int] = []
+
+    def _seed(self, kmer: int, nt: int, right: bool) -> int:
+        if right:
+            return ((kmer << 2) | nt) & self.kmer_mask
+        return (kmer >> 2) | (nt << (2 * (self.k - 1)))
+
+    def _find_anchor(self, read: str):
+        """First N-free kmer window that is an existing anchor, else the
+        first N-free window (anchors need not be solid for correctness —
+        the dict is the authority; Leon.cpp findAndInsertAnchor prefers
+        solid ones for prediction quality only)."""
+        k = self.k
+        n = len(read)
+        first_clean = None
+        for i in range(n - k + 1):
+            w = read[i:i + k]
+            if "N" in w:
+                continue
+            fwd = 0
+            for c in w:
+                fwd = (fwd << 2) | NT2BIN[c]
+            canon = min(fwd, _revcomp(fwd, k))
+            if canon in self.anchor_index:
+                return i, fwd, canon
+            if first_clean is None:
+                first_clean = (i, fwd, canon)
+        return first_clean
+
+    def _anchor_address(self, canon: int) -> int:
+        if canon not in self.anchor_index:
+            self.anchor_index[canon] = len(self.anchor_list)
+            self.anchor_list.append(canon)
+        return self.anchor_index[canon]
+
+    def encode_block(self, reads: list[str]):
+        """Range-encode one block; returns bytes."""
+        k = self.k
+        enc = RangeEncoder()
+        read_type = Order0Model(2)
+        no_anchor_read = Order0Model(5)
+        bifurcation = Order0Model(5)
+        bifurcation_binary = Order0Model(2)
+        revcomp_model = Order0Model(2)
+        read_size = _numeric_models()
+        anchor_pos_m = _numeric_models()
+        anchor_address_m = _numeric_models()
+        numeric = _numeric_models()
+        npos_m = _numeric_models()
+        left_error = _numeric_models()
+        left_error_pos = _numeric_models()
+        no_anchor_read_size = _numeric_models()
+
+        def enc_numeric(models, value):
+            i = 0
+            while True:
+                byte = value & 127
+                value >>= 7
+                if value:
+                    enc.encode(models[i], byte | 128)
+                else:
+                    enc.encode(models[i], byte)
+                    return
+                i += 1
+
+        for read in reads:
+            found = self._find_anchor(read) if len(read) >= k else None
+            if found is None:
+                enc.encode(read_type, 1)
+                enc_numeric(no_anchor_read_size, len(read))
+                for c in read:
+                    enc.encode(no_anchor_read, NT2BIN.get(c, 4))
+                continue
+            anchor_pos, fwd, canon = found
+            address = self._anchor_address(canon)
+            npos = [i for i, c in enumerate(read) if c == "N"]
+            npos_set = set(npos)
+
+            # simulate the decoder's extension to pick error positions and
+            # the bifurcation byte stream (mirror of _DnaDecoder.extend)
+            errors: list[int] = []
+            bif_stream: list[tuple] = []  # ('bif', nt) | ('bin', b)
+
+            def simulate(kmer, positions, right):
+                for pos in positions:
+                    if pos in npos_set:
+                        kmer = self._seed(kmer, 0, right)
+                        continue
+                    true_bin = NT2BIN[read[pos]]
+                    res4 = self.bloom.contains4(kmer, right)
+                    hits = [b for b in range(4) if res4[b]]
+                    if len(hits) == 1:
+                        if hits[0] == true_bin:
+                            kmer = self._seed(kmer, true_bin, right)
+                        else:
+                            # decoder error path: emits the true char,
+                            # kmer follows the first Bloom hit
+                            errors.append(pos)
+                            bif_stream.append(("bif", true_bin))
+                            kmer = self._seed(kmer, hits[0], right)
+                    elif len(hits) == 2:
+                        if true_bin in hits:
+                            bif_stream.append(
+                                ("bin", 0 if hits[0] == true_bin else 1))
+                            kmer = self._seed(kmer, true_bin, right)
+                        else:
+                            errors.append(pos)
+                            bif_stream.append(("bif", true_bin))
+                            kmer = self._seed(kmer, hits[0], right)
+                    else:
+                        # 0 or >= 3 hits: decoder reads a bifurcation byte
+                        # and follows it
+                        bif_stream.append(("bif", true_bin))
+                        kmer = self._seed(kmer, true_bin, right)
+                return kmer
+
+            simulate(fwd, range(anchor_pos - 1, -1, -1), False)
+            simulate(fwd, range(anchor_pos + k, len(read)), True)
+
+            enc.encode(read_type, 0)
+            enc_numeric(read_size, len(read))
+            enc_numeric(anchor_pos_m, anchor_pos)
+            enc_numeric(anchor_address_m, address)
+            enc.encode(revcomp_model, 0 if fwd == canon else 1)
+            enc_numeric(numeric, len(npos))
+            prev = 0
+            for p in npos:
+                enc_numeric(npos_m, p - prev)
+                prev = p
+            errors.sort()
+            enc_numeric(left_error, len(errors))
+            prev = 0
+            for p in errors:
+                enc_numeric(left_error_pos, p - prev)
+                prev = p
+            for kind, v in bif_stream:
+                if kind == "bif":
+                    enc.encode(bifurcation, v)
+                else:
+                    enc.encode(bifurcation_binary, v)
+        enc.flush()
+        return enc.get_buffer()
+
+    def encode_anchor_dict(self) -> bytes:
+        enc = RangeEncoder()
+        model = Order0Model(5)
+        k = self.k
+        for canon in self.anchor_list:
+            for i in range(k):
+                enc.encode(model, (canon >> (2 * (k - 1 - i))) & 3)
+        enc.flush()
+        return enc.get_buffer()
+
+
+class _HeaderEncoder:
+    """Emits the simple universal op sequence per header: FIELD_ASCII
+    chunks (misField=0, misColumn=0) + HEADER_END — decodes on the
+    reference state machine to exactly the original header."""
+
+    def __init__(self, first_header: str):
+        self.first_header = first_header
+
+    def encode_block(self, headers: list[str]) -> bytes:
+        enc = RangeEncoder()
+        header_size_model = Order0Model(256)
+        type_models: list[Order0Model] = []
+        field_index_models: list[Order0Model] = []
+        field_column_models: list[Order0Model] = []
+        mis_size_models: list[Order0Model] = []
+        ascii_models: list[Order0Model] = []
+
+        def ensure(idx):
+            while len(type_models) <= idx:
+                type_models.append(Order0Model(HEADER_TYPE_COUNT + 1))
+                field_index_models.append(Order0Model(256))
+                field_column_models.append(Order0Model(256))
+                mis_size_models.append(Order0Model(256))
+                ascii_models.append(Order0Model(128))
+
+        for h in headers:
+            mis = 0
+            pos = 0
+            while pos < len(h):
+                chunk = h[pos:pos + 255]
+                ensure(mis)
+                enc.encode(type_models[mis], FIELD_ASCII)
+                enc.encode(field_index_models[mis], 0)
+                enc.encode(field_column_models[mis], 0)
+                enc.encode(mis_size_models[mis], len(chunk))
+                for c in chunk:
+                    enc.encode(ascii_models[mis], ord(c) & 127)
+                mis += 1
+                pos += 255
+            ensure(mis)
+            enc.encode(type_models[mis], HEADER_END)
+        enc.flush()
+        return enc.get_buffer()
+
+
+def leon_ref_compress(path_in: str, path_out: str, kmer_size: int = 31,
+                      abundance_min=2,
+                      reads_per_block: int = READ_PER_BLOCK) -> dict:
+    """Compress a FASTA/FASTQ file into the reference .leon HDF5 container
+    (decodable by the reference leon binary)."""
+    import h5py
+    import numpy as np
+
+    from ..bank.fasta import open_bank
+    from ..kmer.counting import count_kmers
+    from ..collections.bloom import _bloom_build, optimal_params
+    import jax.numpy as jnp
+
+    k = kmer_size
+    bank = open_bank(path_in)
+    seqs = list(bank)
+    is_fastq = seqs[0].quality is not None if seqs else False
+
+    # solid kmers -> byte-exact neighbor-coherent Bloom (prediction oracle)
+    res = count_kmers(path_in, kmer_size=k, abundance_min=abundance_min)
+    size_bits, n_hash = optimal_params(max(len(res.solid_kmers), 1), 10.0)
+    words = _bloom_build(jnp.asarray(res.solid_kmers) if
+                         len(res.solid_kmers) else
+                         jnp.zeros((1, (2 * k + 31) // 32), jnp.uint32),
+                         jnp.asarray(np.ones(max(len(res.solid_kmers), 1),
+                                             bool) if len(res.solid_kmers)
+                                     else np.zeros(1, bool)),
+                         size_bits, n_hash, 0, "neighbor", k)
+    bloom_bytes = np.asarray(words).view(np.uint8)
+    bloom = NeighborBloom(bloom_bytes.tobytes(), size_bits, n_hash, k)
+
+    dna_enc = _DnaEncoder(k, bloom)
+    first_header = seqs[0].comment if seqs else ""
+    hdr_enc = _HeaderEncoder(first_header)
+
+    dna_blocks, hdr_blocks, qual_blocks = [], [], []
+    dna_sizes, hdr_sizes = [], []
+    for i in range(0, max(len(seqs), 1), reads_per_block):
+        chunk = seqs[i:i + reads_per_block]
+        if not chunk:
+            break
+        db = dna_enc.encode_block([s.data for s in chunk])
+        hb = hdr_enc.encode_block([s.comment for s in chunk])
+        dna_blocks.append(db)
+        hdr_blocks.append(hb)
+        dna_sizes += [len(db), len(chunk)]
+        hdr_sizes += [len(hb), len(chunk)]
+        if is_fastq:
+            qual_blocks.append(zlib.compress(
+                ("".join(s.quality + "\n" for s in chunk)).encode("ascii"),
+                9))
+
+    def _attrs(ds, **kv):
+        # ASCII vlen strings: the reference's vendored libhdf5 rejects
+        # UTF-8-cset attributes (H5Aread fails)
+        str_t = h5py.string_dtype(encoding="ascii")
+        for key, val in kv.items():
+            ds.attrs.create(key, np.array([str(val).encode("ascii")],
+                                          dtype=object), dtype=str_t)
+
+    with h5py.File(path_out, "w") as f:
+        def wbytes(name, data: bytes):
+            return f.create_dataset(
+                name, data=np.frombuffer(data, np.uint8))
+
+        info = wbytes("metadata/infobyte",
+                      bytes([(0 if is_fastq else 1)]))
+        _attrs(info, type=("fastq" if is_fastq else "fasta"),
+               header="true", version="1.1.0")
+        wbytes("metadata/kmerSize", k.to_bytes(8, "little"))
+        wbytes("metadata/readcount", len(seqs).to_bytes(8, "little"))
+        total = sum(len(s.data) for s in seqs)
+        wbytes("metadata/totalDnaSize", total.to_bytes(8, "little"))
+        mx = max((len(s.data) for s in seqs), default=0)
+        mn = min((len(s.data) for s in seqs), default=0)
+        wbytes("metadata/maxSequenceSize", mx.to_bytes(4, "little"))
+        wbytes("metadata/minSequenceSize", mn.to_bytes(4, "little"))
+
+        bl = wbytes("leon/bloom", bloom_bytes.tobytes())
+        _attrs(bl, size=size_bits, nb_hash=n_hash, kmer_size=k,
+               type="neighbor")
+
+        dict_bytes = dna_enc.encode_anchor_dict()
+        ds = wbytes("leon/anchors/anchorsDict", dict_bytes)
+        _attrs(ds, size=len(dict_bytes))
+        wbytes("leon/anchors/size", len(dict_bytes).to_bytes(8, "little"))
+        wbytes("leon/anchors/anchorAdress",
+               len(dna_enc.anchor_list).to_bytes(4, "little"))
+
+        import struct
+
+        wbytes("leon/dna/nb_blocks", len(dna_sizes).to_bytes(8, "little"))
+        wbytes("leon/dna/blocksizes",
+               struct.pack(f"<{len(dna_sizes)}q", *dna_sizes))
+        for i, b in enumerate(dna_blocks):
+            ds = wbytes(f"leon/dna/dna_{i}", b)
+            _attrs(ds, size=len(b))
+
+        fh = first_header.encode("ascii")
+        wbytes("leon/header/firstheadersize", len(fh).to_bytes(8, "little"))
+        wbytes("leon/header/firstheader", fh if fh else b"\0")
+        wbytes("leon/header/nb_blocks",
+               len(hdr_sizes).to_bytes(8, "little"))
+        wbytes("leon/header/blocksizes",
+               struct.pack(f"<{len(hdr_sizes)}q", *hdr_sizes))
+        for i, b in enumerate(hdr_blocks):
+            ds = wbytes(f"leon/header/header_{i}", b)
+            _attrs(ds, size=len(b))
+
+        if is_fastq:
+            for i, b in enumerate(qual_blocks):
+                ds = wbytes(f"leon/qual/qual_{i}", b)
+                _attrs(ds, size=len(b))
+        else:
+            f.create_group("leon/qual")
+
+    return {
+        "nb_reads": len(seqs),
+        "nb_anchors": len(dna_enc.anchor_list),
+        "compressed_bytes": sum(len(b) for b in dna_blocks)
+        + sum(len(b) for b in hdr_blocks)
+        + sum(len(b) for b in qual_blocks) + len(bloom_bytes),
+    }
+
+
 def _prop(ds, name: str) -> str:
     v = ds.attrs[name]
     try:

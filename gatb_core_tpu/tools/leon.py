@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("-abundance", dest="abundance", type=int, default=2,
                    help="min abundance for the anchor dictionary")
     p.add_argument("-out", dest="out", default=None)
+    p.add_argument("-gtbl", dest="gtbl", action="store_true",
+                   help="compress to this engine's own GTBL1 container "
+                        "instead of the reference .leon HDF5 format")
     args = p.parse_args(argv)
 
     if args.compress == args.decompress:
@@ -33,17 +36,28 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if args.compress:
-        from ..compression.leon import LeonCompressor
-
         out = args.out or (args.file + ".leon")
-        info = LeonCompressor(kmer_size=args.kmer_size,
-                              abundance_min=args.abundance) \
-            .compress(args.file, out)
+        if args.gtbl:
+            from ..compression.leon import LeonCompressor
+
+            info = LeonCompressor(kmer_size=args.kmer_size,
+                                  abundance_min=args.abundance) \
+                .compress(args.file, out)
+            extra = f"dict {info['dict_size']} kmers, "
+        else:
+            # default: the reference .leon container — decodable by the
+            # reference leon binary (compression/leon_ref.py)
+            from ..compression.leon_ref import leon_ref_compress
+
+            info = leon_ref_compress(args.file, out,
+                                     kmer_size=args.kmer_size,
+                                     abundance_min=args.abundance)
+            extra = f"dict {info['nb_anchors']} anchors, "
         in_size = os.path.getsize(args.file)
         ratio = in_size / max(info["compressed_bytes"], 1)
         print(f"compressed {args.file} ({in_size} B) -> {out} "
               f"({info['compressed_bytes']} B), ratio {ratio:.2f}x, "
-              f"{info['nb_reads']} reads, dict {info['dict_size']} kmers, "
+              f"{info['nb_reads']} reads, {extra}"
               f"{time.time() - t0:.1f}s")
     else:
         from ..compression.leon import LeonDecompressor

@@ -135,3 +135,51 @@ def test_bank_leon_reads_reference_container(test_db, tmp_path):
     assert [s.data for s in seqs] == orig[1::4]
     assert [s.comment for s in seqs] == [h[1:] for h in orig[0::4]]
     assert [s.quality for s in seqs] == orig[3::4]
+
+
+def test_leon_ref_compress_roundtrip(tmp_path):
+    """Compress to the REFERENCE container format and round-trip through
+    our reference-exact decoder (and through the reference binary itself
+    when .ref_build is present): decoder-in-the-loop encoding guarantees
+    interop by construction."""
+    import os
+    import subprocess
+
+    from gatb_core_tpu.compression.leon_ref import (leon_ref_compress,
+                                                    leon_ref_decompress)
+
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=800))
+    reads = []
+    for i in range(60):
+        s = int(rng.integers(0, 700))
+        r = list(genome[s:s + int(rng.integers(25, 90))])
+        if i % 5 == 0:
+            r[int(rng.integers(0, len(r)))] = "N"
+        reads.append("".join(r))
+    reads.append("NNNNNNNNNNNNNNNNNNNNNNNNNNNNNN")
+    src = str(tmp_path / "in.fastq")
+    with open(src, "w") as f:
+        for i, r in enumerate(reads):
+            q = "".join(chr(33 + int(x))
+                        for x in rng.integers(0, 40, len(r)))
+            f.write(f"@r{i} pos:{i * 3}\n{r}\n+\n{q}\n")
+    out = str(tmp_path / "in.fastq.leon")
+    info = leon_ref_compress(src, out, kmer_size=21, abundance_min=1)
+    assert info["nb_reads"] == len(reads)
+
+    got = leon_ref_decompress(out).decode().splitlines()
+    orig = open(src).read().splitlines()
+    assert got[0::4] == orig[0::4]
+    assert got[1::4] == orig[1::4]
+    assert got[3::4] == orig[3::4]
+
+    ref_bin = "/root/repo/.ref_build/bin/Release/leon"
+    if os.path.exists(ref_bin):
+        subprocess.run([ref_bin, "-d", "-file", out, "-verbose", "0"],
+                       check=True, capture_output=True,
+                       cwd=str(tmp_path))
+        dec = open(str(tmp_path / "in.fastq.d")).read().splitlines()
+        assert dec[0::4] == orig[0::4]
+        assert dec[1::4] == orig[1::4]
+        assert dec[3::4] == orig[3::4]

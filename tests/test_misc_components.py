@@ -182,3 +182,71 @@ class TestTopologyAndHistogram2D:
         assert "nodes: 623" in r.stdout
         # branching count must match the conformance golden (24)
         assert "branching (in!=1 or out!=1): 24" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# string utilities (tools/misc/impl/Stringify.hpp, Tokenizer.cpp,
+# StringLine.hpp, XmlReader.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_stringify_and_tokenizer():
+    from gatb_core_tpu.misc.strings import Stringify, TokenizerIterator
+
+    assert Stringify.format("k=%d in %s", 31, "reads.fa") == "k=31 in reads.fa"
+    it = TokenizerIterator("a,b;;c,", ",;")
+    assert list(it) == ["a", "b", "c"]
+    it.first()
+    toks = []
+    while not it.is_done():
+        toks.append(it.item())
+        it.next()
+    assert toks == ["a", "b", "c"]
+
+
+def test_string_line_wrap():
+    from gatb_core_tpu.misc.strings import StringLine
+
+    out = StringLine.format("one two three four five six", width=12)
+    assert all(len(line) <= 12 for line in out.splitlines())
+    assert out.replace("\n", " ") == "one two three four five six"
+
+
+def test_xml_reader_events():
+    from gatb_core_tpu.misc.strings import XmlReader
+
+    xml = '<?xml version="1.0"?><config a="1 &amp; 2"><kmer_size>31' \
+          '</kmer_size><empty/></config>'
+    ev = XmlReader(xml).read()
+    kinds = [(e.kind, e.name) for e in ev]
+    assert ("open", "config") in kinds
+    assert ("open", "kmer_size") in kinds
+    assert ("close", "kmer_size") in kinds
+    assert ("open", "empty") in kinds and ("close", "empty") in kinds
+    attr = [e for e in ev if e.kind == "attribute"][0]
+    assert attr.name == "a" and attr.value == "1 & 2"
+    text = [e for e in ev if e.kind == "text"][0]
+    assert text.name == "31"
+
+
+def test_bag_partition(tmp_path):
+    from gatb_core_tpu.collections.containers import BagPartition
+
+    bp = BagPartition(str(tmp_path / "parts"), 4, cache_size=2)
+    for i in range(20):
+        bp.insert(i % 4, i * 10)
+    bp.close()
+    for p in range(4):
+        vals = list(bp.iterator(p))
+        assert vals == [i * 10 for i in range(20) if i % 4 == p]
+
+
+def test_hash16_memory_budget():
+    from gatb_core_tpu.collections.containers import Hash16
+
+    h = Hash16(max_memory_mb=1)
+    assert not h.is_full
+    # budget = 1MB/16B = 65536 entries
+    for i in range(65536):
+        h.insert(i)
+    assert h.is_full
