@@ -74,7 +74,7 @@ def main():
     from gatb_core_tpu.ops.sortops import count_planes
 
     K = 31
-    B = 16384           # reads per extraction chunk
+    B = int(os.environ.get("GATB_BENCH_B", 16384))  # reads per chunk
     n_reads_env = int(os.environ.get("GATB_BENCH_READS", 200_000))
     reads = make_dataset(n_reads=n_reads_env)
     full_dataset = n_reads_env == 200_000

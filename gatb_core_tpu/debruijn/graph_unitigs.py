@@ -40,7 +40,13 @@ class UnitigGraph:
         return len(self.sequences)
 
     def unitig_length(self, u) -> np.ndarray:
-        return np.asarray([len(self.sequences[i]) for i in np.atleast_1d(u)])
+        return self.unitig_lengths()[np.atleast_1d(u)]
+
+    def unitig_lengths(self) -> np.ndarray:
+        """(U,) base lengths without decoding sequences."""
+        if hasattr(self.sequences, "lengths"):
+            return np.asarray(self.sequences.lengths())
+        return np.asarray([len(s) for s in self.sequences])
 
     def out_links(self, oriented: int) -> np.ndarray:
         return self.link_targets[

@@ -84,7 +84,7 @@ class Simplifications:
         u = ug.nb_unitigs
         deg_f = deg[0::2]   # links out of forward end (tail side)
         deg_r = deg[1::2]   # links out of reverse end (head side)
-        lens = np.array([len(s) for s in ug.sequences])
+        lens = np.asarray(ug.unitig_lengths())
 
         max_topo = int(k * self.TIP_LEN_TOPO_KMULT)
         max_rctc = int(k * self.TIP_LEN_RCTC_KMULT)
@@ -183,7 +183,7 @@ class Simplifications:
         deg = ug.out_degree_oriented()
         deg_f = deg[0::2]
         deg_r = deg[1::2]
-        lens = np.array([len(s) for s in ug.sequences])
+        lens = np.asarray(ug.unitig_lengths())
         max_ec = int(k * self.EC_LEN_KMULT)
 
         cand = (deg_f >= 1) & (deg_r >= 1) & (lens <= max_ec)
@@ -215,7 +215,7 @@ class Simplifications:
         us, ug = self._compact(limbs, counts)
 
         deg = ug.out_degree_oriented()
-        lens = np.array([len(s) for s in ug.sequences], np.int64)
+        lens = np.asarray(ug.unitig_lengths(), np.int64)
         max_bulge = max(int(k * self.BULGE_LEN_KMULT),
                         k + self.BULGE_LEN_KADD)
         backtrack = k + self.BULGE_ALTPATH_KADD
@@ -266,8 +266,10 @@ class Simplifications:
         k = self.k
         state = {"calls": 0, "failed": False}
 
+        ulens = np.asarray(ug.unitig_lengths())
+
         def ulen(t):  # nb extensions of unitig t's simple path
-            return len(ug.sequences[t >> 1]) - k
+            return int(ulens[t >> 1]) - k
 
         def rec(node, budget, visited, lens_, covs_):
             if budget < -1 or state["failed"]:

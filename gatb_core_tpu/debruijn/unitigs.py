@@ -310,6 +310,76 @@ def _cand_kernel(k: int, n_table: int, chunk: int):
     return kernel
 
 
+class PackedSequences:
+    """2-bit packed unitig store (the reference's packed_unitigs blob +
+    dag_vector offsets, GraphUnitigs.cpp:520-660): ~4x+ less RAM than
+    Python strings, decoded to str lazily on access. Duck-types a list of
+    strings (len / index / iterate)."""
+
+    _DECODE = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+    def __init__(self, packed: np.ndarray, byte_offsets: np.ndarray,
+                 lengths: np.ndarray):
+        self._packed = packed            # (B,) uint8, 4 codes/byte
+        self._byte_offsets = byte_offsets  # (U+1,) byte offset per unitig
+        self._lengths = lengths          # (U,) base lengths
+
+    @classmethod
+    def from_ascii_buffer(cls, chars: np.ndarray,
+                          offsets: np.ndarray) -> "PackedSequences":
+        lengths = np.diff(offsets).astype(np.int64)
+        code = np.zeros(256, np.uint8)
+        code[ord("C")] = 1
+        code[ord("T")] = 2
+        code[ord("G")] = 3
+        codes = code[chars]
+        nbytes = (lengths + 3) // 4
+        byte_offsets = np.zeros(len(lengths) + 1, np.int64)
+        byte_offsets[1:] = np.cumsum(nbytes)
+        # scatter each base to its byte-aligned position in the blob
+        total = int(lengths.sum())
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(offsets[:-1].astype(np.int64), lengths)
+        dest = np.repeat(byte_offsets[:-1] * 4, lengths) + within
+        padded = np.zeros(int(byte_offsets[-1]) * 4, np.uint8)
+        padded[dest] = codes
+        q = padded.reshape(-1, 4)
+        packed = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2)
+                  | q[:, 3]).astype(np.uint8)
+        return cls(packed, byte_offsets, lengths)
+
+    def lengths(self) -> np.ndarray:
+        return self._lengths
+
+    def nbytes(self) -> int:
+        return self._packed.nbytes + self._byte_offsets.nbytes \
+            + self._lengths.nbytes
+
+    def __len__(self) -> int:
+        return len(self._lengths)
+
+    def __getitem__(self, i: int) -> str:
+        if isinstance(i, (slice, list, np.ndarray)):
+            idx = range(*i.indices(len(self))) if isinstance(i, slice) \
+                else np.atleast_1d(i)
+            return [self[int(j)] for j in idx]
+        b = self._packed[self._byte_offsets[i]:self._byte_offsets[i + 1]]
+        codes = np.empty(len(b) * 4, np.uint8)
+        codes[0::4] = b >> 6
+        codes[1::4] = (b >> 4) & 3
+        codes[2::4] = (b >> 2) & 3
+        codes[3::4] = b & 3
+        return self._DECODE[codes[:self._lengths[i]]].tobytes() \
+            .decode("ascii")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+
 def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
                     nb_unitigs, lengths):
     """Assemble unitig strings on host from per-node assignments.
@@ -320,7 +390,8 @@ def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
     need full decoding.
     """
     if nb_unitigs == 0:
-        return []
+        return PackedSequences(np.zeros(0, np.uint8),
+                               np.zeros(1, np.int64), np.zeros(0, np.int64))
     total_chars = int((lengths + k - 1).sum())
     offsets = np.zeros(nb_unitigs + 1, np.int64)
     offsets[1:] = np.cumsum(lengths + k - 1)
@@ -362,8 +433,6 @@ def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
             jlimb = w32 - 1 - bitpos // 32
             code = (ol[:, jlimb] >> (bitpos % 32)) & 3
             chars[base + i] = nts[code.astype(np.uint8)]
-    out = []
-    buf = chars.tobytes()
-    for u in range(nb_unitigs):
-        out.append(buf[offsets[u]:offsets[u + 1]].decode("ascii"))
-    return out
+    # packed 2-bit store (no Python string per unitig: memory-safe at
+    # >=100k unitigs, decoded lazily on access)
+    return PackedSequences.from_ascii_buffer(chars, offsets)

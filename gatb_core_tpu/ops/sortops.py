@@ -473,52 +473,45 @@ def _run_stats(planes, inv):
     return starts, rid, n, is_end
 
 
-def _carry_scan(values, marks):
-    """Forward-propagate the value at each marked row (segmented carry):
-    out[i] = values[j] for the largest marked j <= i. One associative scan."""
-    def comb(a, b):
-        va, ha = a
-        vb, hb = b
-        return jnp.where(hb, vb, va), ha | hb
-
-    out, _ = jax.lax.associative_scan(comb, (jnp.where(marks, values, 0),
-                                             marks))
-    return out
+def _cumw(inv, weights):
+    """Inclusive cumsum of masked weights. Sampled at the run END rows
+    (which compact to the table front in run order), adjacent differences
+    give per-run totals — runs tile the valid prefix, so
+    weight_j = cumw[end_j] - cumw[end_{j-1}]. No segmented scan needed."""
+    return jnp.cumsum(jnp.where(inv, 0, weights.astype(I32)))
 
 
-def _run_weights(inv, starts, is_end, weights):
-    """Per-run total weight, materialized at each run's END row (0 off-end):
-    inclusive cumsum minus the run-start's exclusive cumsum (carried)."""
-    w_ = jnp.where(inv, 0, weights.astype(I32))
-    cumw = jnp.cumsum(w_)
-    sval = _carry_scan(cumw - w_, starts)
-    return jnp.where(is_end, cumw - sval, 0)
+def _diff_counts(cwe, live):
+    prev = jnp.concatenate([jnp.zeros((1,), I32), cwe[:-1]])
+    return jnp.where(live, cwe - prev, 0)
 
 
-def _compact_ends(planes, rid, is_end, counts_at_end, n, cap_out: int):
-    """Move each run's END row (kmer + count) to position rid: ONE
-    single-key sort by (is_end ? rid : sentinel) with the planes and the
-    count column as payloads — stream compaction as a sort, because
-    scatters/gathers are the slow path on this hardware."""
+def _compact_ends(planes, rid, is_end, payloads, n, cap_out: int):
+    """Move each run's END row (kmer + payload columns) to position rid:
+    ONE single-key sort by (is_end ? rid : sentinel) with the planes and
+    the payloads riding along — stream compaction as a sort, because
+    scatters/gathers are the slow path on this hardware. Returns
+    (out_planes, out_payloads, live_mask) at capacity cap_out."""
     n_rows = planes[0].shape[0]
     key = jnp.where(is_end, rid.astype(U32), U32(0xFFFFFFFF))
     sorted_ = jax.lax.sort((key,) + tuple(planes)
-                           + tuple(c.astype(U32) for c in counts_at_end),
+                           + tuple(c.astype(U32) for c in payloads),
                            num_keys=1)
     take = min(cap_out, n_rows)
-    live = jax.lax.broadcasted_iota(I32, (take,), 0) < n
+    live_t = jax.lax.broadcasted_iota(I32, (take,), 0) < n
 
     def fit(x, fill):
-        x = jnp.where(live, x[:take], fill)
+        x = jnp.where(live_t, x[:take], fill)
         if take < cap_out:
             x = jnp.concatenate([x, jnp.full((cap_out - take,), fill,
                                              x.dtype)])
         return x
 
+    live = fit(live_t, False) if take < cap_out else live_t
     w = len(planes)
     out_planes = tuple(fit(s, U32(0xFFFFFFFF)) for s in sorted_[1:1 + w])
-    out_counts = tuple(fit(s.astype(I32), I32(0)) for s in sorted_[1 + w:])
-    return out_planes, out_counts
+    out_payloads = tuple(fit(s.astype(I32), I32(0)) for s in sorted_[1 + w:])
+    return out_planes, out_payloads, live
 
 
 def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
@@ -541,10 +534,9 @@ def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
     starts, rid, n, is_end = _run_stats(planes, inv)
     if weights is None:
         weights = jnp.ones((n_rows,), I32)
-    counts_at_end = _run_weights(inv, starts, is_end, weights)
-    out_planes, (counts,) = _compact_ends(planes, rid, is_end,
-                                          (counts_at_end,), n, cap_out)
-    return out_planes, counts, n, n > cap_out
+    out_planes, (cwe,), live = _compact_ends(
+        planes, rid, is_end, (_cumw(inv, weights),), n, cap_out)
+    return out_planes, _diff_counts(cwe, live), n, n > cap_out
 
 
 def count_sorted_planes_multi(planes, inv, weights_list,
@@ -561,10 +553,10 @@ def count_sorted_planes_multi(planes, inv, weights_list,
     if cap_out is None:
         cap_out = n_rows
     starts, rid, n, is_end = _run_stats(planes, inv)
-    ends = tuple(_run_weights(inv, starts, is_end, w_)
-                 for w_ in weights_list)
-    out_planes, counts_out = _compact_ends(planes, rid, is_end, ends, n,
+    cws = tuple(_cumw(inv, w_) for w_ in weights_list)
+    out_planes, cwes, live = _compact_ends(planes, rid, is_end, cws, n,
                                            cap_out)
+    counts_out = tuple(_diff_counts(cwe, live) for cwe in cwes)
     return out_planes, counts_out, n, n > cap_out
 
 
@@ -596,7 +588,7 @@ def merge_tables_planes_multi(pa, ca_list, na, pb, cb_list, nb,
     planes = tuple(jnp.concatenate([x, y]) for x, y in zip(pa, pb))
     wts = tuple(jnp.concatenate([x, y]).astype(U32)
                 for x, y in zip(ca_list, cb_list))
-    merged = _merge_sorted_runs(planes + wts, cap)
+    merged = jax.lax.sort(planes + wts, num_keys=len(planes) + len(wts))
     w = len(pa)
     idx = jax.lax.broadcasted_iota(I32, (2 * cap,), 0)
     inv = idx >= (na + nb)
@@ -738,7 +730,10 @@ def merge_tables_planes(pa, ca, na, pb, cb, nb, cap_out: int,
         merged = _pallas_tile_sweep(merged, _tile_merge_kernel, len(allp),
                                     tile // LANES, (2 * cap) // tile, False)
     else:
-        merged = _merge_sorted_runs(allp, cap)
+        # XLA's native sort beats hand-rolled bitonic merge stages at
+        # every size measured on v5e (BASELINE.md round-2 notes); counts
+        # ride as an extra LSB key (summed per run downstream)
+        merged = jax.lax.sort(allp, num_keys=len(allp))
     idx = jax.lax.broadcasted_iota(I32, (2 * cap,), 0)
     inv = idx >= (na + nb)
     return count_sorted_planes(merged[:-1], inv,

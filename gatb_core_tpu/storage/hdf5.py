@@ -108,6 +108,60 @@ class Group:
     def __contains__(self, name: str) -> bool:
         return name in self._g
 
+    def ostream(self, name: str) -> "OStream":
+        """Raw byte output stream (Storage::ostream equivalent)."""
+        return OStream(self, name)
+
+    def istream(self, name: str) -> "IStream":
+        """Raw byte input stream (Storage::istream equivalent)."""
+        return IStream(self, name)
+
+
+class OStream:
+    """Raw byte output stream inside a Group (Storage::ostream,
+    tools/storage/impl/Storage.cpp — used by Repartitor::save /
+    Configuration::save in the reference; Leon block streams here)."""
+
+    def __init__(self, group: "Group", name: str):
+        self._group = group
+        self._name = name
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+
+    def flush(self) -> None:
+        self._group.set_dataset(self._name,
+                                np.frombuffer(bytes(self._buf), np.uint8))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.flush()
+
+
+class IStream:
+    """Raw byte input stream over a Group dataset (Storage::istream)."""
+
+    def __init__(self, group: "Group", name: str):
+        data = group.get_dataset(name)
+        self._data = b"" if data is None else np.asarray(data).tobytes()
+        self._pos = 0
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = len(self._data) - self._pos
+        out = self._data[self._pos:self._pos + n]
+        self._pos += len(out)
+        return out
+
+    def seek(self, pos: int) -> None:
+        self._pos = pos
+
+    def tell(self) -> int:
+        return self._pos
+
 
 class Storage(Group):
     """HDF5 storage root (StorageFactory STORAGE_HDF5 equivalent)."""

@@ -250,3 +250,37 @@ def test_hash16_memory_budget():
     for i in range(65536):
         h.insert(i)
     assert h.is_full
+
+
+def test_algorithm_base_contract():
+    from gatb_core_tpu.misc.algorithm import Algorithm
+
+    class Summer(Algorithm):
+        def execute(self):
+            with self.time_info.section("1.sum"):
+                total = sum(range(1000))
+            self.info["total"] = total
+            return total
+
+    a = Summer("summer")
+    assert a.run() == 499500
+    info = a.get_info()
+    assert info["total"] == 499500
+    assert "exec_time" in info and "time.execute" in info
+    assert "summer" in a.get_properties().dump_raw()
+
+
+def test_storage_byte_streams(tmp_path):
+    from gatb_core_tpu.storage.hdf5 import Storage
+
+    with Storage(str(tmp_path / "s.h5"), "w") as st:
+        g = st.group("minimizers")
+        with g.ostream("minimRepart") as os_:
+            os_.write(b"\x12\x34")
+            os_.write(bytes(range(16)))
+        is_ = g.istream("minimRepart")
+        assert is_.read(2) == b"\x12\x34"
+        assert is_.tell() == 2
+        assert is_.read() == bytes(range(16))
+        is_.seek(0)
+        assert is_.read(1) == b"\x12"
