@@ -809,11 +809,11 @@ def leon_ref_compress(path_in: str, path_out: str, kmer_size: int = 31,
 
 
 def _prop(ds, name: str) -> str:
+    import numpy as np
+
     v = ds.attrs[name]
-    try:
+    if isinstance(v, (np.ndarray, list, tuple)) and len(v) == 1:
         v = v[0]
-    except (TypeError, IndexError):
-        pass
     return v.decode() if isinstance(v, bytes) else str(v)
 
 

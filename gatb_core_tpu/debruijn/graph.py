@@ -177,7 +177,7 @@ class Graph:
         if not storage.check_state(STATE_SORTING_COUNT_DONE):
             raise ValueError(f"{uri}: no completed counting stage")
         limbs, counts = storage_mod.load_solid(storage)
-        k = int(storage.get_property("kmer_size"))
+        k = storage_mod.prop_int(storage, "kmer_size")
         graph = cls(k, limbs, counts, storage)
         if storage.check_state(STATE_BRANCHING_DONE):
             rec = storage.group("branching").get_dataset("nodes")
@@ -202,7 +202,7 @@ class Graph:
                                             BloomCfpContainer)
 
                 g = storage.group("debloom")
-                kind = str(g.get_property("kind", "original"))
+                kind = storage_mod.prop_str(g, "kind", "original")
                 cascade = None
                 if kind == "cascading" and "cascading" in g:
                     cg = g.group("cascading")
@@ -213,6 +213,12 @@ class Graph:
                         if t4 is not None and len(t4) else \
                         np.zeros((0, graph._w), np.uint32)
                     cascade = CascadeCFP(blooms, t4)
+                elif kind == "cascading" and "bloom2" in g:
+                    # reference dbgh5 layout: /debloom/bloom{2,3,4} raw
+                    # datasets with string attrs; cfp dataset holds T4
+                    blooms = [storage_mod.load_bloom_dataset(
+                        g._g[f"bloom{i}"]) for i in (2, 3, 4)]
+                    cascade = CascadeCFP(blooms, cfp)
                 deb = DebloomResult(bloom, cfp, len(cfp), {}, kind, cascade)
                 graph._debloom = deb
                 graph._container = BloomCfpContainer(deb)

@@ -37,22 +37,51 @@ class Repartitor:
     def device_table(self) -> jnp.ndarray:
         return jnp.asarray(self.table.astype(np.int32))
 
-    # -- persistence (Repartitor::save/load, PartiInfo.cpp:228-293) ----
-    def save(self, storage) -> None:
+    # -- persistence (Repartitor::save/load, PartiInfo.cpp:228-293):
+    #    byte-exact reference stream format, so /minimizers in our .h5
+    #    matches what the reference binary reads/writes:
+    #    <u16 nbpart> <u64 nb_minims> <u16 nbPass> <u16 table[nb_minims]>
+    #    <u8 hasFreq> <u32 magic 0x12345678> (+ minimFrequency stream)
+    def save(self, storage, freq_order=None, nb_pass: int = 1) -> None:
+        import struct
+
         g = storage.group("minimizers")
-        g.set_dataset("minimRepart", self.table.astype(np.uint16))
-        g.set_property("magic", np.uint64(self.MAGIC))
-        g.set_property("nb_partitions", np.uint64(self.nb_partitions))
+        nb_minims = len(self.table)
+        out = bytearray()
+        out += struct.pack("<HQH", self.nb_partitions, nb_minims, nb_pass)
+        out += self.table.astype("<u2").tobytes()
+        out += struct.pack("<BI", 1 if freq_order is not None else 0,
+                           self.MAGIC)
+        with g.ostream("minimRepart") as os_:
+            os_.write(bytes(out))
+        if freq_order is not None:
+            with g.ostream("minimFrequency") as os2:
+                os2.write(np.asarray(freq_order, "<u4").tobytes())
+                os2.write(struct.pack("<I", self.MAGIC))
         g.set_property("minimizer_size", np.uint64(self.minimizer_size))
 
     @classmethod
     def load(cls, storage) -> "Repartitor":
+        import struct
+
         g = storage.group("minimizers")
-        if int(g.get_property("magic", 0)) != cls.MAGIC:
-            raise ValueError("bad repartition magic")
-        return cls(g.get_dataset("minimRepart"),
-                   int(g.get_property("nb_partitions")),
-                   int(g.get_property("minimizer_size")))
+        raw = g.get_dataset("minimRepart")
+        if raw is None:
+            raise ValueError("no minimRepart stream")
+        raw = np.asarray(raw)
+        if raw.dtype == np.uint16:  # legacy round-1 dataset layout
+            table = raw
+            nbpart = int(table.max()) + 1
+        else:
+            buf = raw.astype(np.uint8).tobytes()
+            nbpart, nb_minims, _nb_pass = struct.unpack_from("<HQH", buf, 0)
+            (magic,) = struct.unpack_from("<I", buf, len(buf) - 4)
+            if magic != cls.MAGIC:
+                raise ValueError("bad repartition magic")
+            table = np.frombuffer(buf, "<u2", count=nb_minims, offset=12)
+        m = max(1, int(round(np.log2(max(len(table), 4)) / 2)))
+        msize = int(g.get_property("minimizer_size", m))
+        return cls(np.array(table), nbpart, msize)
 
 
 def compute_distrib(bin_sizes: np.ndarray, nb_partitions: int) -> np.ndarray:

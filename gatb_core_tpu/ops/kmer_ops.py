@@ -70,6 +70,13 @@ class KmerBatch(NamedTuple):
     minimizer: jnp.ndarray
 
 
+# Largest per-dispatch read-batch leading dim validated on TPU: at
+# B=65536 XLA:TPU was observed to miscompute the LOW limb of a fraction
+# of windows (hi limbs and CPU results correct; BASELINE.md round-2
+# notes). Larger batches are split internally onto validated shapes.
+_MAX_EXTRACT_ROWS = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("k", "m", "with_minimizers"))
 def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
                   k: int, m: int = 10,
@@ -91,6 +98,21 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     B, L = codes.shape
     if L < k:
         raise ValueError(f"padded length {L} < k={k}")
+    if B > _MAX_EXTRACT_ROWS and B % _MAX_EXTRACT_ROWS == 0:
+        # split onto the validated shape (see _MAX_EXTRACT_ROWS note)
+        nchunk = B // _MAX_EXTRACT_ROWS
+
+        def one(args):
+            return extract_kmers(*args, k, m, freq_order, with_minimizers)
+
+        out = jax.lax.map(one, (codes.reshape(nchunk, -1, L),
+                                valid.reshape(nchunk, -1, L),
+                                lengths.reshape(nchunk, -1)))
+        return KmerBatch(
+            out.kmers.reshape(B, *out.kmers.shape[2:]),
+            out.valid.reshape(B, -1),
+            None if out.minimizer is None
+            else out.minimizer.reshape(B, -1))
     P = L - k + 1
     fwds = _window_limbs(codes, k)  # (B, P, W)
     revs = revcomp_limbs_(fwds, k)

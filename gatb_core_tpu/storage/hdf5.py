@@ -65,8 +65,11 @@ def limbs_to_words64(limbs: np.ndarray) -> np.ndarray:
 
 
 def words64_to_limbs(words: np.ndarray, w32: int) -> np.ndarray:
-    """Inverse of limbs_to_words64."""
+    """Inverse of limbs_to_words64. Accepts (N,) for single-word values
+    (the reference stores LargeInt<1> as scalar u64 columns)."""
     words = np.asarray(words, dtype=np.uint64)
+    if words.ndim == 1:
+        words = words[:, None]
     n, nw = words.shape
     le = np.zeros((n, 2 * nw), np.uint32)
     for j in range(nw):
@@ -187,7 +190,7 @@ class Storage(Group):
 
     # ---- graph-build state machine helpers ---------------------------
     def get_state(self) -> int:
-        return int(self.get_property("state", 0))
+        return prop_int(self, "state", 0)
 
     def set_state_bit(self, bit: int) -> None:
         self.set_property("state", np.uint64(self.get_state() | bit))
@@ -223,11 +226,35 @@ def save_solid(storage: Storage, kmers_limbs: np.ndarray,
 
 
 def load_solid(storage: Storage):
-    """Read /dsk/solid back as (limbs uint32 (N,W32), counts int32)."""
-    rec = storage.group("dsk").get_dataset("solid")
-    k = int(storage.get_property("kmer_size"))
+    """Read /dsk/solid back as (limbs uint32 (N,W32), counts int32).
+
+    Handles both this engine's layout (one dataset) and a reference
+    dbgh5 .h5, where dsk/solid is a Partition group of per-minimizer-
+    partition datasets 0..P-1 (CountProcessorDump.hpp:94) that are only
+    locally sorted — the concatenation is re-sorted globally."""
+    import h5py
+
+    k = prop_int(storage, "kmer_size")
     w32 = (2 * k + 31) // 32
-    limbs = words64_to_limbs(rec["value"], w32)
+    dsk = storage.group("dsk")
+    node = dsk._g.get("solid")
+    if isinstance(node, h5py.Group):  # reference partition layout
+        parts = sorted(node.keys(), key=int)
+        rec = np.concatenate([node[p][...] for p in parts]) if parts \
+            else np.zeros(0, count_dtype(max(1, (k + 31) // 32)))
+        vals = rec["value"]
+        if vals.ndim == 1:
+            vals = vals[:, None]
+        limbs = words64_to_limbs(vals, w32)
+        counts = rec["abundance"].astype(np.int32)
+        order = np.lexsort(tuple(limbs[:, j]
+                                 for j in range(w32 - 1, -1, -1)))
+        return limbs[order], counts[order]
+    rec = dsk.get_dataset("solid")
+    vals = rec["value"]
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    limbs = words64_to_limbs(vals, w32)
     return limbs, rec["abundance"].astype(np.int32)
 
 
@@ -260,14 +287,58 @@ def _save_bloom_group(g: Group, bloom) -> None:
     g.set_property("kmer_size", np.uint64(bloom.kmer_size))
 
 
-def load_bloom_group(g: Group):
-    """Read a Bloom filter from a group holding a 'bloom' dataset."""
+def _attr_str(v) -> str:
+    """Normalize an HDF5 attribute to str: the reference writes every
+    property as a (1,)-shaped vlen string; ours are scalars."""
+    if isinstance(v, (np.ndarray, list, tuple)) and len(v) == 1:
+        v = v[0]
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+def prop_int(g: Group, key: str, default: int = 0) -> int:
+    """Integer property tolerant of the reference's string-typed HDF5
+    attributes (gatb stores every property as a (1,) vlen string)."""
+    v = g.get_property(key, None)
+    if v is None:
+        return default
+    return int(_attr_str(v))
+
+
+def prop_str(g: Group, key: str, default: str = "") -> str:
+    v = g.get_property(key, None)
+    return default if v is None else _attr_str(v)
+
+
+def load_bloom_dataset(ds) -> "object":
+    """Bloom from a reference StorageTools::saveBloom dataset: raw bytes
+    with type/size/nb_hash/kmer_size string attrs (StorageTools.hpp:129)."""
     from ..collections.bloom import BloomFilter
     import jax.numpy as jnp
 
-    words = g.get_dataset("bloom")
-    if words is None:
+    raw = np.asarray(ds[...], np.uint8)
+    pad = (-len(raw)) % 4
+    if pad:
+        raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+    words = raw.view("<u4")
+    return BloomFilter(jnp.asarray(words),
+                       int(_attr_str(ds.attrs["size"])),
+                       int(_attr_str(ds.attrs["nb_hash"])),
+                       0, _attr_str(ds.attrs["type"]),
+                       int(_attr_str(ds.attrs["kmer_size"])))
+
+
+def load_bloom_group(g: Group):
+    """Read a Bloom filter from a group holding a 'bloom' dataset (this
+    engine's layout, or a reference .h5 where the params ride as string
+    attrs on the dataset itself)."""
+    from ..collections.bloom import BloomFilter
+    import jax.numpy as jnp
+
+    if "bloom" not in g:
         return None
+    if g.get_property("size_bits") is None:  # reference layout
+        return load_bloom_dataset(g._g["bloom"])
+    words = g.get_dataset("bloom")
     return BloomFilter(jnp.asarray(words),
                        int(g.get_property("size_bits")),
                        int(g.get_property("nb_hash")),
@@ -315,13 +386,19 @@ def save_debloom(storage: Storage, cfp_limbs: np.ndarray, kmer_size: int,
 
 
 def load_debloom(storage: Storage, w32: int) -> np.ndarray | None:
-    """The full cFP set (exactness artifact) from /debloom."""
+    """The full cFP set (exactness artifact) from /debloom. On a
+    reference .h5 only the final critical collection exists (T4 for
+    cascading); it is returned as-is (the cascade blooms carry the rest
+    of the membership information)."""
     g = storage.group("debloom")
     rec = g.get_dataset("cfp_all")
     if rec is None:
         rec = g.get_dataset("cfp")
     if rec is None:
         return None
+    rec = np.asarray(rec)
+    if rec.ndim == 1:
+        rec = rec[:, None]
     return words64_to_limbs(rec, w32)
 
 

@@ -138,3 +138,68 @@ def test_dbgh5_cli_postsolid_flags(tmp_path, test_db):
     assert f["debloom"].attrs["kind"] == "original"
     assert f["bloom"].attrs["kind"] == "cache"
     f.close()
+
+
+REF_DBGH5 = "/root/repo/.ref_build/bin/Release/dbgh5"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_DBGH5),
+                    reason="reference dbgh5 binary not built (.ref_build)")
+def test_load_reference_dbgh5_h5(tmp_path, test_db):
+    """Graph.load opens a .h5 produced by the REFERENCE dbgh5 binary:
+    partitioned dsk/solid (re-sorted globally), string-typed attrs,
+    cascading-debloom bloom2/3/4 datasets, and the Repartitor byte stream
+    — a reference user's existing graph files keep working."""
+    import subprocess
+
+    import numpy as np
+
+    out = str(tmp_path / "ref.h5")
+    subprocess.run([REF_DBGH5, "-in", f"{test_db}/reads1.fa",
+                    "-kmer-size", "31", "-abundance-min", "3",
+                    "-out", out, "-verbose", "0"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    from gatb_core_tpu.debruijn.graph import Graph
+    from gatb_core_tpu.kmer.repartition import Repartitor
+
+    g = Graph.load(out)
+    assert g.nb_nodes == 623 and g.kmer_size == 31
+    g._branching = None  # recompute from the loaded solid set
+    assert len(g.branching_nodes()) == 24
+    assert g.checksum_branching() == "30eb72bc69eca0d3"
+    # cascading membership loaded from the reference file == exact
+    import jax.numpy as jnp
+
+    from gatb_core_tpu.ops.neighbor_ops import neighbor_candidates
+
+    cands = np.asarray(neighbor_candidates(
+        jnp.asarray(g.solid_limbs), 31)).reshape(-1, g._w)
+    assert (g.contains(cands, mode="exact")
+            == g.contains(cands, mode="bloom_cfp")).all()
+    rep = Repartitor.load(g.storage)
+    assert rep.nb_partitions >= 1 and len(rep.table) == 4 ** 10
+    g.storage.close()
+
+
+def test_repartitor_reference_stream_roundtrip(tmp_path):
+    """Repartitor persists in the reference's exact byte-stream format
+    (PartiInfo.cpp:228-293: <u16><u64><u16> header + u16 table + magic)."""
+    import struct
+
+    import numpy as np
+
+    from gatb_core_tpu.kmer.repartition import Repartitor
+    from gatb_core_tpu.storage.hdf5 import Storage
+
+    table = (np.arange(4 ** 6) % 8).astype(np.uint16)
+    rep = Repartitor(table, 8, 6)
+    with Storage(str(tmp_path / "r.h5"), "w") as st:
+        rep.save(st)
+        raw = st.group("minimizers").get_dataset("minimRepart")
+        buf = np.asarray(raw).tobytes()
+        nbp, nbm, npass = struct.unpack_from("<HQH", buf, 0)
+        assert (nbp, nbm, npass) == (8, 4 ** 6, 1)
+        assert struct.unpack_from("<I", buf, len(buf) - 4)[0] == 0x12345678
+        rep2 = Repartitor.load(st)
+    assert rep2.nb_partitions == 8
+    assert (rep2.table == table).all()
