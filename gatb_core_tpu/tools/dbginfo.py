@@ -31,24 +31,25 @@ def main(argv=None) -> int:
 
     with Storage(args.input, "r") as st:
         print(f"graph        : {args.input}")
-        print(f"kmer_size    : {st.get_property('kmer_size')}")
-        print(f"nb_solid_kmers : {st.get_property('nb_solid_kmers')}")
+        from ..storage.hdf5 import prop_str
+        print(f"kmer_size    : {prop_str(st, 'kmer_size')}")
+        print(f"nb_solid_kmers : {prop_str(st, 'nb_solid_kmers')}")
         state = st.get_state()
         done = [name for name, bit in STATE_NAMES if state & bit]
         print(f"state        : 0x{state:x} [{' '.join(done)}]")
         if "dsk" in st:
             g = st.group("dsk")
-            print(f"dsk/nb_items : {g.get_property('nb_items')}")
+            print(f"dsk/nb_items : {prop_str(g, 'nb_items', 'n/a')}")
         if "histogram" in st:
             cutoff = st.group("histogram").get_dataset("cutoff")
             if cutoff is not None:
                 print(f"cutoff       : {int(cutoff[0])}")
         if "branching" in st:
             g = st.group("branching")
-            print(f"nb_branching : {g.get_property('nb_branching')}")
-            print(f"checksum_branching : {g.get_property('checksum_branching')}")
+            print(f"nb_branching : {prop_str(g, 'nb_branching')}")
+            print(f"checksum_branching : {prop_str(g, 'checksum_branching')}")
         if "configuration" in st:
-            xml = st.group("configuration").get_property("xml")
+            xml = prop_str(st.group("configuration"), "xml")
             if xml:
                 print("configuration:")
                 for line in str(xml).splitlines():
