@@ -32,8 +32,22 @@ GOLDENS = {
 _RC = str.maketrans("ACGT", "TGCA")
 
 
-def _canon(s: str) -> str:
-    return min(s, s[::-1].translate(_RC))
+def _canon(s: str, k: int | None = None) -> str:
+    """RC-canonical unitig string; CIRCULAR unitigs (first k-1 == last
+    k-1 chars — the wrap overlap) are additionally rotation-normalized:
+    the reference's bcalm and our cycle-cut pick different (both valid)
+    rotations of the same kmer cycle."""
+    rc = s[::-1].translate(_RC)
+    if k is not None and len(s) > k and s[:k - 1] == s[-(k - 1):]:
+        core = s[:len(s) - (k - 1)]
+        best = None
+        for c in (core, core[::-1].translate(_RC)):
+            for i in range(len(c)):
+                r = c[i:] + c[:i]
+                if best is None or r < best:
+                    best = r
+        return best + best[:k - 1]
+    return min(s, rc)
 
 
 def _blob(pairs: dict) -> str:
@@ -53,3 +67,20 @@ def test_unitig_set_vs_reference_binary(name, test_db):
              for s, m in zip(ug.sequences, ug.mean_abundance)}
     assert len(pairs) == n_exp
     assert _blob(pairs) == sha_exp
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("GATB_TPU_SLOW_TESTS"),
+                    reason="slow: 4.9M kmers (set GATB_TPU_SLOW_TESTS=1)")
+def test_unitig_set_reads3_scale(test_db):
+    """4.9M-kmer scale: 15,908 unitigs, set + km:f equality vs the
+    reference pipeline (rotation-normalized: reads3 contains tandem-
+    repeat cycles emitted at different — equally valid — rotations)."""
+    g = Graph.create(f"{test_db}/reads3.fa.gz", kmer_size=21,
+                     abundance_min=2, batch_reads=4096,
+                     build_branching=False, mphf_kind="none",
+                     debloom_kind="none", repartition=False)
+    ug = g.unitig_graph()
+    pairs = {_canon(s, 21): round(float(m), 1)
+             for s, m in zip(ug.sequences, ug.mean_abundance)}
+    assert len(pairs) == 15908
+    assert _blob(pairs) == "0da5b1b413d40434"
