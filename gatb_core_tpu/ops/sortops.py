@@ -625,7 +625,12 @@ def sort_planes(planes, n_keys: int | None = None,
 def _encode_invalid(planes, valid, spare_bits: bool):
     """Sentinel-encode invalid rows for the sort: with spare bits the
     all-ones kmer is impossible, so invalid rows become all-ones keys;
-    otherwise a leading validity plane is prepended (0 = valid)."""
+    otherwise a leading validity plane is prepended (0 = valid).
+
+    (Note: even without spare bits a CANONICAL kmer can never be
+    all-ones — the all-ones value is G^k whose revcomp C^k is smaller —
+    so table-level sentinels in merge paths are safe for every k; the
+    extra validity key here only guards yet-uncanonicalized inputs.)"""
     if spare_bits:
         return tuple(jnp.where(valid, p, U32(0xFFFFFFFF)) for p in planes), 0
     vkey = jnp.where(valid, U32(0), U32(0xFFFFFFFF))

@@ -61,6 +61,33 @@ class SystemInfo:
         }
 
 
+def host_info() -> dict:
+    """HostInfo properties block (tools/misc/impl/HostInfo.hpp): host
+    name, cores, physical/used memory — merged into tool info trees."""
+    return {
+        "chost_name": platform.node(),
+        "chome_directory": os.path.expanduser("~"),
+        "cnb_cores": SystemInfo.nb_cores(),
+        "cmemory_total_mb": SystemInfo.memory_physical_total_mb(),
+        "cmemory_used_mb": round(SystemInfo.memory_self_used_mb(), 1),
+    }
+
+
+def library_info() -> dict:
+    """LibraryInfo properties block (tools/misc/impl/LibraryInfo.hpp):
+    version/build metadata, the 'gatb-core-library' info the reference
+    stamps into every .h5 (Graph.cpp root xml)."""
+    info = {
+        "version": "2.0-tpu",
+        "build_system": f"{platform.system()}-{platform.release()}",
+        "build_compiler": f"python {platform.python_version()}",
+        "kmer_sizes": "any (uint32 limb arrays; no compiled span list)",
+    }
+    info.update(SystemInfo.version_info())
+    info.pop("devices", None)
+    return info
+
+
 class FileSystem:
     """IFileSystem equivalents."""
 

@@ -284,3 +284,12 @@ def test_storage_byte_streams(tmp_path):
         assert is_.read() == bytes(range(16))
         is_.seek(0)
         assert is_.read(1) == b"\x12"
+
+
+def test_host_and_library_info():
+    from gatb_core_tpu.system.info import host_info, library_info
+
+    h = host_info()
+    assert h["cnb_cores"] >= 1 and "chost_name" in h
+    li = library_info()
+    assert li["version"] and "jax" in li and "build_system" in li
