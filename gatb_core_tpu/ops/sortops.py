@@ -436,23 +436,6 @@ def merge_stacked(kmers: jnp.ndarray, counts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _binsearch_i32(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Leftmost insertion points of v in sorted a (both int32), as an
-    unrolled branch-free binary search: log2(N) gather+select rounds.
-    jnp.searchsorted's default lowering measured ~25x slower on TPU
-    (955ms vs this at 2^25/2^21 — BASELINE.md round-2 notes)."""
-    n = a.shape[0]
-    lo = jnp.zeros(v.shape, I32)
-    hi = jnp.full(v.shape, n, I32)
-    # range shrinks from n to 0: ceil(log2(n)) + 1 halvings
-    for _ in range(n.bit_length()):
-        mid = (lo + hi) >> 1
-        pred = a[jnp.minimum(mid, n - 1)] < v
-        lo = jnp.where(pred, mid + 1, lo)
-        hi = jnp.where(pred, hi, mid)
-    return lo
-
-
 def _run_stats(planes, inv):
     """Shared run detection of a sorted stream: (starts, rid, n, is_end).
 
