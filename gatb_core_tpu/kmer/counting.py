@@ -378,6 +378,10 @@ class SortingCount:
 
         tables: list = []  # (planes tuple, counts, n) distinct tables
         t_merge_total = 0.0
+        # adaptive distinct-ratio estimate: start optimistic (coverage
+        # dedup), learn from each superbatch's measured n/rows so
+        # low-coverage banks stop paying the overflow re-run
+        dedup_ratio = {"est": 0.25}
         # per-phase stopwatches (TimeInfo equivalent; reference dsk emits
         # fill_partitions / fill_solid_kmers + 1.read/2.sort/3.dump,
         # PartitionsCommand.cpp:1229-1235)
@@ -409,11 +413,14 @@ class SortingCount:
                 valid = jnp.asarray(np.stack([b[1] for b in group]))
                 lengths = jnp.asarray(np.stack([b[2] for b in group]))
             rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
-            # distinct-table capacity: the coverage makes distinct << rows;
-            # the overflow flag guards exactness (rare fallback re-runs at
-            # full capacity) — same role as the plan's distinct-kmer
-            # estimate in the reference (ConfigurationAlgorithm.cpp:308)
-            cap_out = max(256, rows // 4)
+            # distinct-table capacity: coverage makes distinct << rows;
+            # the ratio is learned from each superbatch's measured n/rows
+            # (with 1.5x headroom) and the overflow flag guards exactness
+            # (fallback re-runs at full capacity) — same role as the
+            # plan's distinct-kmer estimate in the reference
+            # (ConfigurationAlgorithm.cpp:308)
+            cap_out = _next_pow2(max(
+                256, min(rows, int(rows * dedup_ratio["est"] * 1.5))))
             with ti.section("2.sort"):
                 out = _superbatch_count(
                     codes, valid, lengths, jnp.int32(pass_i),
@@ -429,6 +436,7 @@ class SortingCount:
                     valid_scalars.append(nv)
                     inside_scalars.append(ni)
                 n = int(n)  # one scalar fetch per superbatch
+                dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
             cap = _next_pow2(max(n, 256))
             tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
             progress.inc(len(group))
