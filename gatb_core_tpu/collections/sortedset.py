@@ -65,14 +65,15 @@ class SortedKmerSet:
         """(Q, W) -> (Q,) int32: index in table if present, else -1.
 
         The index is the MPHF code of the kmer (stable, dense in [0, n)).
+        Bulk batches go through the sort-join (ops/sortops.rank_limbs);
+        small batches keep the binary search.
         """
         if self.n == 0:
             return jnp.full((queries.shape[0],), -1, I32)
-        pos = _searchsorted_limbs(self.limbs, queries, self.n)
-        safe = jnp.minimum(pos, self.n - 1)
-        found = jnp.all(self.limbs[safe] == queries, axis=-1) \
-            & (pos < self.n)
-        return jnp.where(found, pos, -1)
+        from ..ops.sortops import rank_limbs
+
+        rank, _ = rank_limbs(self.limbs, queries, self.n)
+        return rank
 
     def contains(self, queries: jnp.ndarray) -> jnp.ndarray:
         return self.rank(queries) >= 0

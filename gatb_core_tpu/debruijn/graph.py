@@ -45,15 +45,17 @@ U32 = jnp.uint32
 
 @functools.partial(jax.jit, static_argnames=("k", "n_table"))
 def _adjacency_kernel(nodes, table, k: int, n_table: int):
-    """8-bit adjacency masks for a batch of nodes against the solid table."""
-    from ..collections.sortedset import _searchsorted_limbs
+    """8-bit adjacency masks for a batch of nodes against the solid table.
+
+    Membership via the sort-join (ops/sortops.rank_limbs): the reference's
+    per-neighbor hash probes (Graph.cpp:3508-3610) would be log(n) random
+    gathers per candidate here — the gather wall (BASELINE.md)."""
+    from ..ops.sortops import rank_limbs
 
     n, w = nodes.shape
     cands = neighbor_candidates(nodes, k)      # (N, 8, W)
     flat = cands.reshape(n * 8, w)
-    pos = _searchsorted_limbs(table, flat, n_table)
-    safe = jnp.minimum(pos, max(n_table - 1, 0))
-    found = jnp.all(table[safe] == flat, axis=-1) & (pos < n_table)
+    _, found = rank_limbs(table, flat, n_table)
     bits = found.reshape(n, 8).astype(jnp.uint8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
     return jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)

@@ -228,9 +228,10 @@ def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int) \
     cands = np.asarray(neighbor_candidates(jnp.asarray(limbs), k))
     m = len(last_nodes)
     flat = cands.reshape(m * 8, -1)
-    pos = np.asarray(_searchsorted_limbs(table, jnp.asarray(flat), n))
-    safe = np.minimum(pos, n - 1)
-    found = (solid_limbs[safe] == flat).all(axis=-1) & (pos < n)
+    from ..ops.sortops import rank_limbs
+
+    pos, found = rank_limbs(table, jnp.asarray(flat), n)
+    pos, found = np.asarray(pos), np.asarray(found)
     ranks = np.where(found, pos, -1).reshape(m, 8)
 
     # also need the entering strand of each candidate (flip), recompute like

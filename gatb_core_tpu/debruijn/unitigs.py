@@ -283,9 +283,11 @@ def _cand_kernel(k: int, n_table: int, chunk: int):
         cands = neighbor_candidates(nodes, k)   # (C, 8, W)
         c, _, w = cands.shape
         flat = cands.reshape(c * 8, w)
-        pos = _searchsorted_limbs(table, flat, n_table)
-        safe = jnp.minimum(pos, max(n_table - 1, 0))
-        found = jnp.all(table[safe] == flat, axis=-1) & (pos < n_table)
+        # sort-join ranks (ops/sortops.rank_limbs): bcalm2's candidate
+        # lookups without the log(n)-gathers-per-query binary search
+        from ..ops.sortops import rank_limbs
+
+        pos, found = rank_limbs(table, flat, n_table)
         ranks = jnp.where(found, pos, -1).reshape(c, 8).astype(I32)
         # strand of the neighbor: candidate equals its canonical form iff
         # the extension's forward form == canonical; flip=1 otherwise.

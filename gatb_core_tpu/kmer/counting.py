@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from ..bank.fasta import IBank, open_bank
 from ..ops.bitpack import ascii_to_codes_np
 from ..ops.kmer_ops import extract_kmers, nb_limbs, py_to_limbs, kmers_to_py
-from ..ops.sortops import (CountTable, count_batch, sort_by_kmer,
-                           count_sorted, merge_stacked, merge_stacked_tree)
+from ..ops.sortops import CountTable, count_batch, sort_by_kmer, count_sorted
 from .histogram import Histogram
 
 MAX_INT32 = 2**31 - 1
@@ -291,35 +290,6 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
                                               use_pallas=use_pallas,
                                               cap_out=cap_out)
     return out_p, counts, n, overflow, n_valid, n_inside
-
-
-def _merge_partials(device_partials: dict, spare: bool):
-    """Merge per-batch device tables into host arrays, grouped by capacity."""
-    from ..ops.sortops import merge_stacked_tree_capped
-
-    group_k: list[np.ndarray] = []
-    group_c: list[np.ndarray] = []
-    MERGE_GROUP = 32  # bound HBM for the stacked merge
-    for cap, tables in device_partials.items():
-        for i in range(0, len(tables), MERGE_GROUP):
-            part = tables[i:i + MERGE_GROUP]
-            ks = jnp.stack([t[0] for t in part])
-            cs = jnp.stack([t[1] for t in part])
-            if len(part) > 2:
-                # capped tree: per-level tables stop doubling once they
-                # reach the distinct estimate (total/4 heuristic); the
-                # overflow flag (one scalar fetch) guards exactness
-                mcap = max(1 << 16, (len(part) * cap) // 4)
-                merged, overflow = merge_stacked_tree_capped(
-                    ks, cs, cap=mcap)
-                if bool(overflow):
-                    merged = merge_stacked_tree(ks, cs, spare_bits=spare)
-            else:
-                merged = merge_stacked_tree(ks, cs, spare_bits=spare)
-            n = int(merged.n)
-            group_k.append(np.asarray(merged.kmers[:n]))
-            group_c.append(np.asarray(merged.counts[:n]))
-    return group_k, group_c
 
 
 class SortingCount:
@@ -649,25 +619,31 @@ def solidity_check(counts: np.ndarray, kind: str, thresholds,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "spare", "nb_banks",
-                                    "cap_out"))
-def _superbatch_count_multibank(codes, valid, lengths, bank_ids, *, k: int,
-                                m: int, spare: bool, nb_banks: int,
-                                cap_out: int | None = None):
+                                    "cap_out", "nb_passes"))
+def _superbatch_count_multibank(codes, valid, lengths, bank_ids, pass_i, *,
+                                k: int, m: int, spare: bool, nb_banks: int,
+                                cap_out: int | None = None,
+                                nb_passes: int = 1):
     """Multibank superbatch: ONE sort over the union of all banks' kmers
     with the bank id riding as payload; the reduce yields per-bank count
     columns (reference one-pass multibank matrices,
-    PartitionsCommand.cpp:1855-2100). bank_ids: (G, B) per-read bank."""
+    PartitionsCommand.cpp:1855-2100). bank_ids: (G, B) per-read bank.
+    nb_passes > 1 applies the DSK pass filter
+    (minimizer % nb_passes == pass, SortingCountAlgorithm.cpp:806)."""
     from ..ops.sortops import count_planes_multibank, _next_pow2
 
     w = nb_limbs(k)
 
     def ext(args):
         c, v, l, bid = args
-        kb = extract_kmers(c, v, l, k, m, with_minimizers=False)
+        kb = extract_kmers(c, v, l, k, m, with_minimizers=nb_passes > 1)
+        pv = kb.valid
+        if nb_passes > 1:
+            pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
+                       == pass_i.astype(jnp.uint32))
         planes = tuple(kb.kmers[..., j].reshape(-1) for j in range(w))
-        P = kb.valid.shape[-1]
         kbank = jnp.broadcast_to(bid[:, None], kb.valid.shape).reshape(-1)
-        return planes, kb.valid.reshape(-1), kbank
+        return planes, pv.reshape(-1), kbank
 
     planes, pv, pbank = jax.lax.map(ext, (codes, valid, lengths, bank_ids))
     flat = tuple(p.reshape(-1) for p in planes)
@@ -690,12 +666,14 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
                           solidity_kind: str = "sum", solid_vec=None,
                           batch_reads: int = 1024, batch_len: int = 256,
                           superbatch_rows: int = 1 << 22,
+                          minimizer_size: int = 10, nb_passes: int = 1,
                           **kwargs) -> MultiBankCountResult:
     """One-pass multibank counting: all banks stream through ONE counting
     pipeline with per-bank count columns riding the sort (reference
     _multibank variants, PartitionsCommand.cpp:1855-2100 — NOT B
     independent passes). ``abundance_min``/``abundance_max`` may be scalars
-    or per-bank lists (reference custom thresholds)."""
+    or per-bank lists (reference custom thresholds). ``nb_passes`` bounds
+    live device memory exactly like the single-bank DSK pass loop."""
     from ..bank.fasta import open_bank
     from ..ops.sortops import merge_tables_planes_multi, _next_pow2
 
@@ -704,6 +682,7 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
     k = kmer_size
     w = nb_limbs(kmer_size)
     spare = (2 * k) % 32 != 0
+    nb_passes = max(1, int(nb_passes))
     builder = _BatchBuilder(k, batch_reads, batch_len)
     rows_per_batch = batch_reads * (builder.L - k + 1)
     G = max(1, int(superbatch_rows) // rows_per_batch)
@@ -719,8 +698,11 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
                 yield builder.flush(), j
 
     tables: list = []  # (planes, counts_tuple, n)
+    # adaptive distinct-ratio capacity, learned per superbatch exactly
+    # like the single-bank driver (overflow flag guards exactness)
+    dedup_ratio = {"est": 0.25}
 
-    def flush_group(group):
+    def flush_group(group, pass_i):
         g = len(group)
         if g < G:
             gp = _next_pow2(g)
@@ -736,28 +718,33 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
             [np.full((group[0][0][0].shape[0],), b[1], np.uint32)
              for b in group]))
         rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
-        cap_out = max(256, rows // 4)
+        cap_out = _next_pow2(max(
+            256, min(rows, int(rows * dedup_ratio["est"] * 1.5))))
         out = _superbatch_count_multibank(
-            codes, valid, lengths, bank_ids, k=k, m=10, spare=spare,
-            nb_banks=nb, cap_out=cap_out)
+            codes, valid, lengths, bank_ids, jnp.int32(pass_i), k=k,
+            m=minimizer_size, spare=spare, nb_banks=nb, cap_out=cap_out,
+            nb_passes=nb_passes)
         if bool(out[3]):
             out = _superbatch_count_multibank(
-                codes, valid, lengths, bank_ids, k=k, m=10, spare=spare,
-                nb_banks=nb, cap_out=None)
+                codes, valid, lengths, bank_ids, jnp.int32(pass_i), k=k,
+                m=minimizer_size, spare=spare, nb_banks=nb, cap_out=None,
+                nb_passes=nb_passes)
         out_p, counts_t, n, _ = out
         n = int(n)
+        dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
         capn = _next_pow2(max(n, 256))
         tables.append((tuple(p[:capn] for p in out_p),
                        tuple(c[:capn] for c in counts_t), n))
 
-    group: list = []
-    for item in _prefetch(produce(), depth=4):
-        group.append(item)
-        if len(group) == G:
-            flush_group(group)
-            group = []
-    if group:
-        flush_group(group)
+    for pass_i in range(nb_passes):
+        group: list = []
+        for item in _prefetch(produce(), depth=4):
+            group.append(item)
+            if len(group) == G:
+                flush_group(group, pass_i)
+                group = []
+        if group:
+            flush_group(group, pass_i)
 
     # pairwise merge (smallest first), count columns riding each merge
     tables = [t for t in tables if t[2] > 0]

@@ -170,9 +170,12 @@ def _debloom_kernel(k: int, n_table: int, chunk: int, size_bits: int,
         in_bloom = _bloom_contains(bloom_words, flat, size_bits, n_hash,
                                    seed, kind, k)
         if n_table:
-            pos = _searchsorted_limbs(table, flat, n_table)
-            safe = jnp.minimum(pos, max(n_table - 1, 0))
-            solid = jnp.all(table[safe] == flat, axis=-1) & (pos < n_table)
+            # sort-join membership (ops/sortops.rank_limbs) — the
+            # reference's 8 probes/solid kmer hot loop
+            # (DebloomAlgorithm.cpp:270-300) without random gathers
+            from ..ops.sortops import rank_limbs
+
+            _, solid = rank_limbs(table, flat, n_table)
         else:
             solid = jnp.zeros((c * 8,), bool)
         return in_bloom & ~solid, cands

@@ -469,14 +469,18 @@ def _diff_counts(cwe, live):
     return jnp.where(live, cwe - prev, 0)
 
 
-def _compact_ends(planes, rid, is_end, payloads, n, cap_out: int):
-    """Move each run's END row (kmer + payload columns) to position rid:
-    ONE single-key sort by (is_end ? rid : sentinel) with the planes and
-    the payloads riding along — stream compaction as a sort, because
-    scatters/gathers are the slow path on this hardware. Returns
-    (out_planes, out_payloads, live_mask) at capacity cap_out."""
+def _compact_ends(planes, cumw, is_end, payloads, n, cap_out: int):
+    """Move each run's END row (kmer + payload columns) to its run-order
+    position: ONE single-key sort keyed on (is_end ? cumw : sentinel).
+    cumw at end rows is strictly increasing across runs whenever every
+    valid row has weight >= 1 (all callers), so it doubles as the
+    run-order key AND the per-run weight sample — no separate rid plane
+    rides the sort (round 3: one less plane = ~25% less compaction
+    traffic). Stream compaction as a sort, because scatters/gathers are
+    the slow path on this hardware. Returns
+    (out_planes, cwe (int32), out_payloads, live_mask) at cap_out."""
     n_rows = planes[0].shape[0]
-    key = jnp.where(is_end, rid.astype(U32), U32(0xFFFFFFFF))
+    key = jnp.where(is_end, cumw.astype(U32), U32(0xFFFFFFFF))
     sorted_ = jax.lax.sort((key,) + tuple(planes)
                            + tuple(c.astype(U32) for c in payloads),
                            num_keys=1)
@@ -493,22 +497,86 @@ def _compact_ends(planes, rid, is_end, payloads, n, cap_out: int):
     live = fit(live_t, False) if take < cap_out else live_t
     w = len(planes)
     out_planes = tuple(fit(s, U32(0xFFFFFFFF)) for s in sorted_[1:1 + w])
+    cwe = fit(sorted_[0].astype(I32), I32(0))
     out_payloads = tuple(fit(s.astype(I32), I32(0)) for s in sorted_[1 + w:])
-    return out_planes, out_payloads, live
+    return out_planes, cwe, out_payloads, live
 
 
-def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
+def _compact_ends_blocked(planes, cumw, is_end, payloads, n, cap_out: int,
+                          block: int = 4096, margin: int = 3):
+    """Two-level compaction of run-END rows (round 3).
+
+    The single-sort compaction (_compact_ends) re-sorts ALL N rows with
+    W+1 payload planes — ~40% of counting device time (BASELINE.md). The
+    end rows are globally ordered by rid already, so compaction only has
+    to close the gaps:
+      level 1: batched minor-axis sort of (NB, block) — each block moves
+               its end rows to its front (rid order), in one VMEM-friendly
+               sort whose network depth is log^2(block), not log^2(N);
+      slice:   keep the first E columns per block (E sized from cap_out
+               with a safety margin; a block with more ends than E sets
+               the overflow flag);
+      level 2: one full sort of only NB*E rows — cumw keys are globally
+               unique at ends, so this restores the exact global order.
+    Returns (out_planes, cwe, out_payloads, live, overflow_blocked).
+    """
+    n_rows = planes[0].shape[0]
+    nb = n_rows // block
+    if nb * block != n_rows or nb < 2:
+        out_planes, cwe, out_payloads, live = _compact_ends(
+            planes, cumw, is_end, payloads, n, cap_out)
+        return out_planes, cwe, out_payloads, live, jnp.zeros((), bool)
+    # expected ends per block ~ block * cap_out / N; margin absorbs skew;
+    # lane-aligned (multiple of 128), not pow2-rounded
+    e_cols = max(128, margin * block * cap_out // n_rows)
+    e_cols = min(-(-e_cols // 128) * 128, block)
+    key = jnp.where(is_end, cumw.astype(U32), U32(0xFFFFFFFF))
+    allp = (key,) + tuple(planes) + tuple(c.astype(U32) for c in payloads)
+    shaped = [x.reshape(nb, block) for x in allp]
+    ends_per_block = jnp.sum(is_end.reshape(nb, block), axis=1)
+    overflow_blocked = jnp.any(ends_per_block > e_cols)
+    lvl1 = jax.lax.sort(tuple(shaped), dimension=1, num_keys=1)
+    sliced = tuple(x[:, :e_cols].reshape(nb * e_cols) for x in lvl1)
+    lvl2 = jax.lax.sort(sliced, num_keys=1)
+    take = min(cap_out, nb * e_cols)
+    live_t = jax.lax.broadcasted_iota(I32, (take,), 0) < n
+
+    def fit(x, fill):
+        x = jnp.where(live_t, x[:take], fill)
+        if take < cap_out:
+            x = jnp.concatenate([x, jnp.full((cap_out - take,), fill,
+                                             x.dtype)])
+        return x
+
+    live = fit(live_t, False) if take < cap_out else live_t
+    w = len(planes)
+    out_planes = tuple(fit(s, U32(0xFFFFFFFF)) for s in lvl2[1:1 + w])
+    cwe = fit(lvl2[0].astype(I32), I32(0))
+    out_payloads = tuple(fit(s.astype(I32), I32(0)) for s in lvl2[1 + w:])
+    return out_planes, cwe, out_payloads, live, overflow_blocked
+
+
+def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None,
+                        blocked: bool = False):
     """Reduce sorted limb planes into a compacted distinct table.
 
     planes: tuple of (N,) uint32, sorted ascending by big-endian lex order;
     inv: (N,) bool, True rows must all sit at the tail (sentinel region);
-    weights: optional (N,) int32 (defaults to 1 per live row);
-    cap_out: output capacity (default N).
+    weights: optional (N,) int32, >= 1 per valid row (defaults to 1) —
+    the compaction keys on the weight cumsum, which must strictly
+    increase across run ends;
+    cap_out: output capacity (default N);
+    blocked: use the two-level blocked compaction (_compact_ends_blocked)
+    instead of the full-N single-key sort — cheaper whenever the distinct
+    ratio is well below 1; a compaction overflow (block skew beyond the
+    margin) is folded into the returned overflow flag, and the caller's
+    existing bigger-capacity retry resolves it (larger cap_out => larger
+    per-block slice).
 
     Returns (out_planes tuple of (cap_out,), counts (cap_out,), n, overflow).
     Replaces the reference's KxmerPointer merge+CounterBuilder run-length
     loop (PartitionsCommand.cpp:1600-1800) with: run detection + segmented
-    carry scans for per-run weights + one compaction sort — scans and sorts
+    carry scans for per-run weights + compaction sorts — scans and sorts
     only (gathers/scatters are pathologically slow on this TPU stack).
     """
     n_rows = planes[0].shape[0]
@@ -517,8 +585,13 @@ def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None):
     starts, rid, n, is_end = _run_stats(planes, inv)
     if weights is None:
         weights = jnp.ones((n_rows,), I32)
-    out_planes, (cwe,), live = _compact_ends(
-        planes, rid, is_end, (_cumw(inv, weights),), n, cap_out)
+    cumw = _cumw(inv, weights)
+    if blocked:
+        out_planes, cwe, _, live, ovb = _compact_ends_blocked(
+            planes, cumw, is_end, (), n, cap_out)
+        return out_planes, _diff_counts(cwe, live), n, (n > cap_out) | ovb
+    out_planes, cwe, _, live = _compact_ends(
+        planes, cumw, is_end, (), n, cap_out)
     return out_planes, _diff_counts(cwe, live), n, n > cap_out
 
 
@@ -537,8 +610,13 @@ def count_sorted_planes_multi(planes, inv, weights_list,
         cap_out = n_rows
     starts, rid, n, is_end = _run_stats(planes, inv)
     cws = tuple(_cumw(inv, w_) for w_ in weights_list)
-    out_planes, cwes, live = _compact_ends(planes, rid, is_end, cws, n,
-                                           cap_out)
+    # order key = cumsum of TOTAL weight (>= 1 per valid row, so strictly
+    # increasing across run ends); per-bank cumsums ride as payloads
+    total_w = weights_list[0].astype(I32)
+    for w_ in weights_list[1:]:
+        total_w = total_w + w_.astype(I32)
+    out_planes, _, cwes, live = _compact_ends(
+        planes, _cumw(inv, total_w), is_end, cws, n, cap_out)
     counts_out = tuple(_diff_counts(cwe, live) for cwe in cwes)
     return out_planes, counts_out, n, n > cap_out
 
@@ -621,7 +699,8 @@ def _encode_invalid(planes, valid, spare_bits: bool):
 
 
 def count_planes(planes, valid, weights=None, spare_bits: bool = False,
-                 cap_out: int | None = None, use_pallas: bool | None = None):
+                 cap_out: int | None = None, use_pallas: bool | None = None,
+                 blocked: bool = False):
     """Sort + reduce flat kmer planes into a distinct table (plane-major).
 
     planes: tuple of (N,) uint32 (N a power of two); valid: (N,) bool;
@@ -641,7 +720,8 @@ def count_planes(planes, valid, weights=None, spare_bits: bool = False,
         inv = idx >= n_valid
         kplanes = out[:n_keys]
     w_ = out[n_keys].astype(I32) if weights is not None else None
-    return count_sorted_planes(kplanes, inv, weights=w_, cap_out=cap_out)
+    return count_sorted_planes(kplanes, inv, weights=w_, cap_out=cap_out,
+                               blocked=blocked)
 
 
 def count_planes_multibank(planes, valid, bank_ids, nb_banks: int,
@@ -727,6 +807,93 @@ def merge_tables_planes(pa, ca, na, pb, cb, nb, cap_out: int,
     return count_sorted_planes(merged[:-1], inv,
                                weights=merged[-1].astype(I32),
                                cap_out=cap_out)
+
+
+# ---------------------------------------------------------------------------
+# Sort-join rank/membership (round 3): replaces binary-search probes.
+#
+# Every postsolid kernel (debloom's 8 probes/solid kmer, adjacency
+# precompute, unitig candidate ranks, batched membership) needs
+# rank-in-sorted-table for large query batches. A per-query binary search
+# is log(n) RANDOM gathers — measured ~50M elem/s on this TPU stack
+# (BASELINE.md), ~20x below sort throughput. The merge-join below uses
+# only sorts + cumulative scans: co-sort (table + queries), read each
+# query's rank off a running live-table-row count, and restore query
+# order with one single-key sort.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_table",))
+def rank_join(table: jnp.ndarray, queries: jnp.ndarray, n_table: int):
+    """Rank + membership of query rows in a sorted distinct-key table.
+
+    table: (C, W) uint32 ascending; rows >= n_table are all-ones padding.
+    queries: (Q, W) uint32, any order; the all-ones row is never found
+    (no canonical kmer is all-ones — see _encode_invalid note).
+    Returns (rank (Q,) int32 — index in table, -1 if absent;
+             found (Q,) bool), in the original query order.
+
+    Sort-join formulation of the reference's per-kmer membership probes
+    (DebloomAlgorithm.cpp:270-300, Graph.cpp:3508-3610): 2 sorts of
+    (C + Q) rows, zero random gathers.
+    """
+    c, w = table.shape
+    q = queries.shape[0]
+    n = c + q
+    idx_c = jax.lax.broadcasted_iota(I32, (c,), 0)
+    # tag orders equal keys as: live table row (0) < query (1) < padding
+    # (2) — so a live table row is always the first row of its equal-key
+    # run, and a query matching only padding rows is never "found".
+    tag = jnp.concatenate([jnp.where(idx_c < n_table, U32(0), U32(2)),
+                           jnp.full((q,), U32(1))])
+    orig = jnp.concatenate([jnp.full((c,), U32(0xFFFFFFFF)),
+                            jax.lax.broadcasted_iota(U32, (q,), 0)])
+    planes = tuple(jnp.concatenate([table[:, j], queries[:, j]])
+                   for j in range(w))
+    out = jax.lax.sort(planes + (tag, orig), num_keys=w + 1)
+    kp, stag, sorig = out[:w], out[w], out[w + 1]
+    is_table = stag == 0
+    ct = jnp.cumsum(is_table.astype(I32))     # live table rows seen so far
+    neq = kp[0][1:] != kp[0][:-1]
+    for p in kp[1:]:
+        neq = neq | (p[1:] != p[:-1])
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq])
+    pos = jax.lax.broadcasted_iota(I32, (n,), 0)
+    run_start = jax.lax.cummax(jnp.where(starts, pos, -1))
+    last_tab = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    # found <=> my equal-key run begins with a live table row (which is
+    # then the nearest preceding one, at table index ct - 1)
+    found = last_tab >= run_start
+    rank = jnp.where(found, ct - 1, -1)
+    # restore original query order: single-key compaction sort
+    key2 = jnp.where(stag == U32(1), sorig, U32(0xFFFFFFFF))
+    out2 = jax.lax.sort((key2, rank.astype(U32), found.astype(U32)),
+                        num_keys=1)
+    return out2[1][:q].astype(I32), out2[2][:q] != 0
+
+
+def rank_limbs(table: jnp.ndarray, queries: jnp.ndarray, n_table: int,
+               method: str = "auto"):
+    """Dispatch rank/membership to sort-join or binary search.
+
+    Binary search (log n random gathers per query) wins for small query
+    batches against a big table; the sort-join wins whenever Q is within
+    a few orders of magnitude of C (all the postsolid bulk kernels).
+    Same return contract as rank_join.
+    """
+    q = queries.shape[0]
+    if method == "auto":
+        method = "join" if q >= 4096 and q * 64 >= n_table else "binsearch"
+    if method == "join":
+        return rank_join(table, queries, n_table)
+    from ..collections.sortedset import _searchsorted_limbs
+
+    pos = _searchsorted_limbs(table, queries, n_table)
+    safe = jnp.minimum(pos, max(n_table - 1, 0))
+    found = jnp.all(table[safe] == queries, axis=-1) & (pos < n_table)
+    if n_table == 0:
+        found = jnp.zeros((q,), bool)
+    return jnp.where(found, pos, -1), found
 
 
 def shrink(table: CountTable, capacity: int) -> CountTable:

@@ -114,3 +114,20 @@ def test_new_project_scaffold(tmp_path):
          "print(a.kmer_size)"],
         capture_output=True, text=True, env=env)
     assert out.returncode == 0 and out.stdout.strip() == "31", out.stderr
+
+
+def test_dbginfo_cli(test_db, tmp_path, capsys):
+    """dbginfo dumps kmer_size / state / branching info from a graph .h5
+    (reference tools/dbginfo.cpp output fields)."""
+    from gatb_core_tpu.tools.dbginfo import main as dbginfo_main
+
+    out_h5 = str(tmp_path / "g.h5")
+    Graph.create(f"{test_db}/reads1.fa", kmer_size=31, abundance_min=3,
+                 output=out_h5)
+    rc = dbginfo_main(["-in", out_h5])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "kmer_size    : 31" in out
+    assert "nb_solid_kmers : 623" in out
+    assert "SORTING_COUNT_DONE" in out and "BRANCHING_DONE" in out
+    assert "nb_branching : 24" in out

@@ -80,3 +80,17 @@ def test_per_bank_thresholds():
     # all: bank0 in [2,9], bank1 in [1,9]
     got = solidity_check(counts, "all", [(2, 9), (1, 9)])
     assert got.tolist() == [True, True, False]
+
+
+def test_multibank_pass_invariance():
+    """nb_passes > 1 must give identical matrices (DSK pass filter is a
+    partition of kmers by minimizer; SortingCountAlgorithm.cpp:806)."""
+    bank_seqs = [[S1, S2], [S3, S1]]
+    banks1 = [BankStrings(*seqs) for seqs in bank_seqs]
+    banks3 = [BankStrings(*seqs) for seqs in bank_seqs]
+    r1 = count_kmers_multibank(banks1, kmer_size=K, abundance_min=1,
+                               batch_reads=8, batch_len=64, nb_passes=1)
+    r3 = count_kmers_multibank(banks3, kmer_size=K, abundance_min=1,
+                               batch_reads=8, batch_len=64, nb_passes=3)
+    np.testing.assert_array_equal(r1.kmers, r3.kmers)
+    np.testing.assert_array_equal(r1.counts_per_bank, r3.counts_per_bank)

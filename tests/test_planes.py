@@ -130,3 +130,54 @@ def test_merge_tables_planes_different_caps():
     assert int(n) == len(keys)
     assert (from_planes(out_p, int(n)) == keys).all()
     assert (np.asarray(counts)[:int(n)] == cnts).all()
+
+@pytest.mark.parametrize("spare", [True, False])
+def test_count_planes_blocked_matches_single(spare):
+    """Blocked two-level compaction == single-sort compaction (round 3)."""
+    rng = np.random.default_rng(11)
+    n = 1 << 14
+    vals = rng.integers(0, 1500, n).astype(np.uint64) * np.uint64(0x100000001)
+    valid = rng.random(n) > 0.15
+    planes = to_planes(vals)
+    ref = count_planes(planes, jnp.asarray(valid), spare_bits=spare,
+                       cap_out=2048, use_pallas=False)
+    got = count_planes(planes, jnp.asarray(valid), spare_bits=spare,
+                       cap_out=2048, use_pallas=False, blocked=True)
+    assert not bool(got[3]) and not bool(ref[3])
+    assert int(got[2]) == int(ref[2])
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_count_planes_blocked_overflow_flag():
+    """All-distinct data with a tight cap trips the blocked overflow (the
+    per-block slice loses rows) instead of returning wrong counts."""
+    n = 1 << 13
+    vals = np.arange(n, dtype=np.uint64)
+    planes = to_planes(vals)
+    inv = jnp.zeros(n, bool)
+    out_p, counts, nd, ov = count_sorted_planes(planes, inv, cap_out=256,
+                                                blocked=True)
+    assert bool(ov)
+    # safe retry at full capacity succeeds
+    out_p, counts, nd, ov = count_sorted_planes(planes, inv, cap_out=n,
+                                                blocked=True)
+    assert not bool(ov) and int(nd) == n
+    np.testing.assert_array_equal(np.asarray(counts), np.ones(n, np.int32))
+
+
+def test_count_planes_blocked_weights():
+    rng = np.random.default_rng(5)
+    n = 1 << 13
+    vals = np.sort(rng.integers(0, 900, n).astype(np.uint64))
+    planes = to_planes(vals)
+    inv = jnp.zeros(n, bool)
+    w = jnp.asarray(rng.integers(1, 5, n).astype(np.int32))
+    ref = count_sorted_planes(planes, inv, weights=w, cap_out=1024)
+    got = count_sorted_planes(planes, inv, weights=w, cap_out=1024,
+                              blocked=True)
+    assert int(got[2]) == int(ref[2]) and not bool(got[3])
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
