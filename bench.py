@@ -70,7 +70,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gatb_core_tpu.ops.kmer_ops import extract_kmers, nb_limbs
+    from gatb_core_tpu.ops.bitpack import pack_batch_np
+    from gatb_core_tpu.ops.kmer_ops import extract_kmers_packed, nb_limbs
     from gatb_core_tpu.ops.sortops import count_planes
 
     K = 31
@@ -87,33 +88,40 @@ def main():
     w = nb_limbs(K)
     spare = (2 * K) % 32 != 0
     P = read_len - K + 1
-    CAP_OUT = 1 << 21   # > EXPECTED_DISTINCT, bounds the reduce output
+    CAP_OUT = 1 << 20   # > EXPECTED_DISTINCT, bounds the reduce output
     # REPS chained runs inside one dispatch amortize the tunnel's per-call
-    # round trip (~150 ms measured: 616k reads/s at REPS=1 vs 792k at
-    # REPS=3); each rep's input is salted by the previous rep's checksum
-    REPS = int(os.environ.get("GATB_BENCH_REPS", 3))
+    # round trip (~110 ms measured); each rep's input is salted by the
+    # previous rep's checksum
+    REPS = int(os.environ.get("GATB_BENCH_REPS", 8))
 
-    jvalid = jnp.ones((B, read_len), bool)
     jlengths = jnp.full((B,), read_len, jnp.int32)
 
-    def count_once(all_codes, salt):
+    def count_once(all_words, all_vmask, salt):
         # `salt` defeats the remote-execution cache (identical (program,
         # input) pairs are served from a tunnel cache, BASELINE.md notes);
-        # salt=0 preserves the reference dataset.
-        all_codes = (all_codes + salt) & 3
+        # salt=0 preserves the reference dataset. XOR with the 01-repeat
+        # pattern flips each base's low bit — padding bits beyond a
+        # read's length never reach a valid window's limbs.
+        all_words = all_words ^ ((salt & jnp.uint8(1)).astype(jnp.uint32)
+                                 * jnp.uint32(0x55555555))
 
-        def ext(codes):
-            kb = extract_kmers(codes, jvalid, jlengths, K,
-                               with_minimizers=False)
+        def ext(args):
+            words, vmask = args
+            # packed extraction: the words ARE the funnel-shift stream
+            # (production transfer format — 2.25 bits/base on the link)
+            kb = extract_kmers_packed(words, vmask, jlengths, K, read_len,
+                                      with_minimizers=False)
             return (tuple(kb.kmers[..., j].reshape(-1) for j in range(w)),
                     kb.valid.reshape(-1))
 
-        planes, val = jax.lax.map(ext, all_codes)
+        planes, val = jax.lax.map(ext, (all_words, all_vmask))
         flat = tuple(p.reshape(-1) for p in planes)
         fv = val.reshape(-1)
-        # lax.sort needs no power-of-two padding: sort the exact row count
+        # round-3 kernel: columnsort (4 batched minor-axis sorts + 2
+        # transposes, ops/colsort.py — picked automatically at this size)
+        # + blocked two-level compaction; 216 -> ~100 ms/rep on v5e
         out_p, counts, n, overflow = count_planes(
-            flat, fv, spare_bits=spare, cap_out=CAP_OUT)
+            flat, fv, spare_bits=spare, cap_out=CAP_OUT, blocked=True)
         # order+count sensitive checksum of the distinct table (scalars only
         # leave the device; the tunnel ships fetched outputs at 25-250MB/s)
         idx = jax.lax.broadcasted_iota(jnp.uint32, (CAP_OUT,), 0)
@@ -123,20 +131,20 @@ def main():
         return n, total, overflow, chks
 
     @jax.jit
-    def count_repeated(all_codes, salt0):
+    def count_repeated(all_words, all_vmask, salt0):
         """REPS full counting runs inside one dispatch, each rep's input
         salted by the previous rep's checksum (data-dependent chaining:
         the remote tunnel caches identical executions and does not
         honor block_until_ready — BASELINE.md measurement notes).
         With REPS=1 this is a single plain run (no loop wrapper)."""
         if REPS == 1:
-            n, total, ov, chks = count_once(all_codes, salt0)
+            n, total, ov, chks = count_once(all_words, all_vmask, salt0)
             return (n.reshape(1), total.reshape(1), ov.reshape(1),
                     chks[0].reshape(1))
 
         def body(i, carry):
             salt, ns, totals, ovs, chk0s = carry
-            n, total, ov, chks = count_once(all_codes, salt)
+            n, total, ov, chks = count_once(all_words, all_vmask, salt)
             ns = ns.at[i].set(n)
             totals = totals.at[i].set(total)
             ovs = ovs.at[i].set(ov)
@@ -150,9 +158,14 @@ def main():
         _, ns, totals, ovs, chk0s = jax.lax.fori_loop(0, REPS, body, init)
         return ns, totals, ovs, chk0s
 
-    dataset = jnp.asarray(reads.reshape(n_batches, B, read_len))
+    # stage the dataset in the packed production transfer format
+    words_np, vmask_np = pack_batch_np(
+        reads.reshape(-1, read_len),
+        np.ones((total_reads, read_len), bool))
+    dataset_w = jnp.asarray(words_np.reshape(n_batches, B, -1))
+    dataset_v = jnp.asarray(vmask_np.reshape(n_batches, B, -1))
     t0 = time.time()
-    out = count_repeated(dataset, jnp.uint8(0))   # warmup/compile
+    out = count_repeated(dataset_w, dataset_v, jnp.uint8(0))  # warm/compile
     vals = [np.asarray(x) for x in out]
     t_warm = time.time() - t0
     assert not vals[2].any(), "CAP_OUT overflow — raise CAP_OUT"
@@ -164,7 +177,7 @@ def main():
     best = None
     for trial in range(3):  # best-of-3 calls (each = REPS chained runs)
         t0 = time.time()
-        out = count_repeated(dataset, jnp.uint8(trial + 1))
+        out = count_repeated(dataset_w, dataset_v, jnp.uint8(trial + 1))
         _ = [np.asarray(x) for x in out]
         elapsed = (time.time() - t0) / REPS
         best = elapsed if best is None else min(best, elapsed)
@@ -177,7 +190,50 @@ def main():
         "vs_baseline": (round(reads_per_s / REF_READS_PER_S, 3)
                         if REF_READS_PER_S else None),
     }
+    if os.environ.get("GATB_BENCH_E2E", "1") != "0":
+        e2e = run_e2e(reads[:total_reads])
+        result.update(e2e)
     print(json.dumps(result))
+
+
+def run_e2e(reads):
+    """End-to-end SortingCount.execute on the same reads, from a FASTA
+    file on disk: native C++ parse -> packed host->device transfer ->
+    superbatch sort/reduce -> solidity -> solid-table fetch. This is the
+    production path the reference's fill_partitions+fill_solid_kmers
+    numbers measure (SortingCountAlgorithm.cpp:636-780) — including the
+    remote-tunnel transfer costs the kernel metric deliberately excludes.
+    """
+    import tempfile
+    import time as _t
+
+    from gatb_core_tpu.kmer.counting import SortingCount, CountConfig
+
+    n_reads, read_len = reads.shape
+    tmp = tempfile.NamedTemporaryFile(suffix=".fa", delete=False)
+    tmp.close()
+    write_fasta(tmp.name, reads)
+    cfg = CountConfig(kmer_size=31, abundance_min=3, batch_reads=4096,
+                      batch_len=read_len,
+                      superbatch_rows=n_reads * (read_len - 30),
+                      # plan-style distinct estimate: ~1Mbp genome at 30x
+                      distinct_ratio_hint=0.06)
+    times = []
+    res = None
+    for trial in range(3):  # first run warms the compile cache
+        t0 = _t.time()
+        res = SortingCount(cfg).execute(tmp.name)
+        times.append(_t.time() - t0)
+    os.unlink(tmp.name)
+    assert res.info["kmers_nb_valid"] == n_reads * (read_len - 30)
+    best = min(times[1:])
+    rps = n_reads / best
+    return {
+        "e2e_reads_per_s": round(rps, 1),
+        "e2e_vs_baseline": (round(rps / REF_READS_PER_S, 3)
+                            if REF_READS_PER_S else None),
+        "e2e_nb_solid": int(res.nb_solid),
+    }
 
 
 if __name__ == "__main__":

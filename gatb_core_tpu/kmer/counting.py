@@ -63,6 +63,20 @@ class CountConfig:
     nb_passes: int = 1
     # progress bar (ProgressTimerAndSystem equivalent) when > 0
     verbose: int = 0
+    # ship 2-bit packed words + validity bitmasks to the device (2.25
+    # bits/base instead of 16 — the host->device link is the end-to-end
+    # bottleneck through the remote tunnel, BASELINE.md); packed by the
+    # native batcher in C++ or pack_batch_np on the Python fallback
+    packed_transfer: bool = True
+    # blocked two-level compaction in the superbatch reduce (sortops
+    # count_planes(blocked=True)); overflow-flag guarded either way
+    blocked_compaction: bool = True
+    # initial distinct/total ratio guess sizing the FIRST superbatch's
+    # table capacity (the reference sizes from the configuration plan's
+    # distinct-kmer estimate, ConfigurationAlgorithm.cpp:308; callers
+    # with a plan — dbgh5, Graph.create — pass it down); later
+    # superbatches learn the measured ratio, overflow guards exactness
+    distinct_ratio_hint: float = 0.25
 
     @property
     def auto_cutoff(self) -> bool:
@@ -241,14 +255,18 @@ def _batch_count_step(codes, valid, lengths, pass_i, *, k: int, m: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "nb_passes", "spare",
-                                    "use_pallas", "cap_out"))
+                                    "use_pallas", "cap_out", "packed", "L",
+                                    "blocked"))
 def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
                       nb_passes: int, spare: bool,
                       use_pallas: bool | None = None,
-                      cap_out: int | None = None):
+                      cap_out: int | None = None,
+                      packed: bool = False, L: int | None = None,
+                      blocked: bool = False):
     """One device dispatch for a whole superbatch (G stacked read batches):
     extraction (lax.map, bounding live temporaries) + pass filter + ONE
-    power-of-two plane sort + scatter-free distinct reduce.
+    plane sort (exact row count — no pow2 padding; lax.sort needs none and
+    the padded sort measured ~30% slower) + scatter-free distinct reduce.
 
     Replaces the round-1 per-batch sort + deep merge tree: sorting a few
     large arrays amortizes the bitonic network's HBM stages and the big
@@ -256,17 +274,24 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
     reference's per-partition sort granularity (PartitionsCommand.cpp:
     1474-1505) rather than its read-batch granularity.
 
-    codes/valid: (G, B, L); lengths: (G, B). Returns
-    (planes tuple of (cap,), counts, n, n_valid, n_inside).
+    codes/valid: (G, B, L) bytes, or with packed=True the packed words /
+    validity bitmasks ((G, B, ceil(L/16)) / (G, B, ceil(L/32)) uint32,
+    pack_words layout) with L the unpacked length; lengths: (G, B).
+    Returns (planes tuple of (cap,), counts, n, n_valid, n_inside).
     """
+    from ..ops.kmer_ops import extract_kmers_packed
     from ..ops.sortops import count_planes, _next_pow2
 
     w = nb_limbs(k)
 
     def ext(args):
         c, v, l = args
-        kb = extract_kmers(c, v, l, k, m,
-                           with_minimizers=nb_passes > 1)
+        if packed:
+            kb = extract_kmers_packed(c, v, l, k, L, m,
+                                      with_minimizers=nb_passes > 1)
+        else:
+            kb = extract_kmers(c, v, l, k, m,
+                               with_minimizers=nb_passes > 1)
         pv = kb.valid
         if nb_passes > 1:
             pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
@@ -279,24 +304,37 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
     fv = pv.reshape(-1)
     n_valid = jnp.sum(nvs)
     n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
-    n_rows = flat[0].shape[0]
-    cap = _next_pow2(max(n_rows, 256))
-    pad = cap - n_rows
-    if pad:
-        flat = tuple(jnp.concatenate(
-            [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in flat)
-        fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
+    from ..ops.sortops import _pallas_sort_enabled
+    if use_pallas or (use_pallas is None and _pallas_sort_enabled()):
+        # the Pallas bitonic path needs power-of-two row counts; the
+        # default lax.sort path sorts the exact count (~30% cheaper)
+        n_rows = flat[0].shape[0]
+        cap = _next_pow2(max(n_rows, 256))
+        if cap != n_rows:
+            pad = cap - n_rows
+            flat = tuple(jnp.concatenate(
+                [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))])
+                for p in flat)
+            fv = jnp.concatenate([fv, jnp.zeros((pad,), bool)])
     out_p, counts, n, overflow = count_planes(flat, fv, spare_bits=spare,
                                               use_pallas=use_pallas,
-                                              cap_out=cap_out)
+                                              cap_out=cap_out,
+                                              blocked=blocked)
     return out_p, counts, n, overflow, n_valid, n_inside
 
 
 class SortingCount:
-    """Driver for the counting pipeline (SortingCountAlgorithm equivalent)."""
+    """Driver for the counting pipeline (SortingCountAlgorithm equivalent).
 
-    def __init__(self, config: CountConfig | None = None):
+    ``processor`` plugs a custom CountProcessor (kmer/count_processor.py,
+    the ICountProcessor.hpp:92-200 extension point) into the run: it
+    joins the processor vector as its own sweep, receiving every pass's
+    kmer-complete table with full lifecycle calls — the reference
+    SortingCountAlgorithm(..., processor) constructor parameter."""
+
+    def __init__(self, config: CountConfig | None = None, processor=None):
         self.config = config or CountConfig()
+        self.processor = processor
 
     def execute(self, bank) -> CountResult:
         cfg = self.config
@@ -317,11 +355,13 @@ class SortingCount:
         rows_per_batch = cfg.batch_reads * (builder.L - k + 1)
         G = max(1, int(cfg.superbatch_rows) // rows_per_batch)
 
+        packed = bool(cfg.packed_transfer)
+
         def produce(count_stats: bool):
-            """Host batch stream (parse + 2-bit encode). Runs on a producer
-            thread so parsing overlaps device compute — the TPU analogue of
-            the reference's Dispatcher thread fan-out over the sequence
-            iterator (SortingCountAlgorithm.cpp:1271)."""
+            """Host batch stream (parse + 2-bit encode [+ pack]). Runs on a
+            producer thread so parsing overlaps device compute — the TPU
+            analogue of the reference's Dispatcher thread fan-out over the
+            sequence iterator (SortingCountAlgorithm.cpp:1271)."""
             nonlocal nb_seq, seq_total_size
             if native_paths is not None:
                 # native C++ parse+encode+batch path (native/fastx.cpp),
@@ -331,27 +371,38 @@ class SortingCount:
 
                 for path in native_paths:
                     nat = NativeBatcher(path, k, cfg.batch_reads, builder.L)
-                    for batch in nat:
+                    it = nat.iter_packed() if packed else iter(nat)
+                    for batch in it:
                         yield batch
                     if count_stats:
                         s_n, s_t = nat.stats()
                         nb_seq += s_n
                         seq_total_size += s_t
             else:
+                from ..ops.bitpack import pack_batch_np
+
+                def emit(batch):
+                    if not packed:
+                        return batch
+                    codes, val, lens, row = batch
+                    words, vmask = pack_batch_np(codes, val)
+                    return words, vmask, lens, row
+
                 for seq in bank:
                     if count_stats:
                         nb_seq += 1
                         seq_total_size += len(seq)
-                    yield from builder.add(seq.data)
+                    for batch in builder.add(seq.data):
+                        yield emit(batch)
                 if builder.row:
-                    yield builder.flush()
+                    yield emit(builder.flush())
 
         tables: list = []  # (planes tuple, counts, n) distinct tables
         t_merge_total = 0.0
-        # adaptive distinct-ratio estimate: start optimistic (coverage
-        # dedup), learn from each superbatch's measured n/rows so
+        # adaptive distinct-ratio estimate: start from the caller's plan
+        # hint, learn from each superbatch's measured n/rows so
         # low-coverage banks stop paying the overflow re-run
-        dedup_ratio = {"est": 0.25}
+        dedup_ratio = {"est": float(cfg.distinct_ratio_hint)}
         # per-phase stopwatches (TimeInfo equivalent; reference dsk emits
         # fill_partitions / fill_solid_kmers + 1.read/2.sort/3.dump,
         # PartitionsCommand.cpp:1229-1235)
@@ -368,21 +419,50 @@ class SortingCount:
                             "DSK: counting kmers",
                             verbose=cfg.verbose > 0)
 
+        pending: list = []  # dispatched superbatches awaiting resolution
+
+        def resolve(item):
+            """Sync point of one superbatch: overflow check (+ exact rerun
+            at full capacity when tripped), stats, trim, ratio update."""
+            out, rows, inputs, pass_i, first_pass, g_len = item
+            with ti.section("2.sort"):
+                if bool(out[3]):  # overflow: rerun unbounded (always exact)
+                    codes, valid, lengths = inputs
+                    out = _superbatch_count(
+                        codes, valid, lengths, jnp.int32(pass_i),
+                        k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                        spare=spare, cap_out=None, packed=packed,
+                        L=builder.L if packed else None)
+                out_p, counts, n, _, nv, ni = out
+                if first_pass:
+                    valid_scalars.append(nv)
+                    inside_scalars.append(ni)
+                n = int(n)  # one scalar fetch per superbatch
+                dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
+            cap = _next_pow2(max(n, 256))
+            tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n,
+                           pass_i))
+            progress.inc(g_len)
+
         def flush_group(group, pass_i, first_pass):
-            """One superbatch dispatch: stack G batches, count, trim."""
+            """One superbatch dispatch: stack G batches, count (async)."""
             g = len(group)
             if g < G:  # pad the tail group to a power-of-two batch count
                 gp = _next_pow2(g)
-                B, L = group[0][0].shape
+                B = group[0][0].shape[0]
+                c_shape = group[0][0].shape
+                v_shape = group[0][1].shape
+                c_dt = group[0][0].dtype
+                v_dt = group[0][1].dtype
                 while len(group) < gp:
-                    group.append((np.zeros((B, L), np.uint8),
-                                  np.zeros((B, L), bool),
+                    group.append((np.zeros(c_shape, c_dt),
+                                  np.zeros(v_shape, v_dt),
                                   np.zeros((B,), np.int32), 0))
             with ti.section("1.stack"):
                 codes = jnp.asarray(np.stack([b[0] for b in group]))
                 valid = jnp.asarray(np.stack([b[1] for b in group]))
                 lengths = jnp.asarray(np.stack([b[2] for b in group]))
-            rows = _next_pow2(max(codes.shape[0] * rows_per_batch, 256))
+            rows = codes.shape[0] * rows_per_batch
             # distinct-table capacity: coverage makes distinct << rows;
             # the ratio is learned from each superbatch's measured n/rows
             # (with 1.5x headroom) and the overflow flag guards exactness
@@ -391,25 +471,19 @@ class SortingCount:
             # (ConfigurationAlgorithm.cpp:308)
             cap_out = _next_pow2(max(
                 256, min(rows, int(rows * dedup_ratio["est"] * 1.5))))
-            with ti.section("2.sort"):
-                out = _superbatch_count(
-                    codes, valid, lengths, jnp.int32(pass_i),
-                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
-                    spare=spare, cap_out=cap_out)
-                if bool(out[3]):  # overflow: rerun unbounded (always exact)
-                    out = _superbatch_count(
-                        codes, valid, lengths, jnp.int32(pass_i),
-                        k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
-                        spare=spare, cap_out=None)
-                out_p, counts, n, _, nv, ni = out
-                if first_pass:
-                    valid_scalars.append(nv)
-                    inside_scalars.append(ni)
-                n = int(n)  # one scalar fetch per superbatch
-                dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
-            cap = _next_pow2(max(n, 256))
-            tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
-            progress.inc(len(group))
+            out = _superbatch_count(
+                codes, valid, lengths, jnp.int32(pass_i),
+                k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                spare=spare, cap_out=cap_out, packed=packed,
+                L=builder.L if packed else None,
+                blocked=bool(cfg.blocked_compaction))
+            pending.append((out, rows, (codes, valid, lengths), pass_i,
+                            first_pass, len(group)))
+            # resolve the FIRST superbatch immediately (learn the distinct
+            # ratio before sizing the next); after that keep up to 2 in
+            # flight so host parse + transfer overlap device compute
+            while len(pending) > (0 if len(tables) == 0 else 2):
+                resolve(pending.pop(0))
 
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
         # with minimizer % nb_passes == p; each pass streams the whole bank
@@ -424,16 +498,23 @@ class SortingCount:
                     group = []
             if group:
                 flush_group(group, pass_i, first_pass)
+        while pending:
+            resolve(pending.pop(0))
 
         t_fill = time.time() - t0
         progress.finish()
 
-        # merge the per-superbatch distinct tables (different passes are
-        # disjoint by construction; same-pass tables overlap) — smallest
-        # pair first, one bitonic merge level + reduce per pair
+        # merge the per-superbatch distinct tables into one kmer-complete
+        # table PER PASS (passes partition kmers by minimizer, so a pass
+        # table is the reference's notion of a completed partition) —
+        # smallest pair first, one bitonic merge level + reduce per pair
         t1 = time.time()
+        parts: list[tuple[int, np.ndarray, np.ndarray]] = []
         with ti.section("3.merge"):
-            uniq, counts = _merge_table_list(tables, w)
+            for p in range(nb_passes):
+                tp = [t[:3] for t in tables if t[3] == p]
+                uniq_p, counts_p = _merge_table_list(tp, w)
+                parts.append((p, uniq_p, counts_p))
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))
         kmers_nb_invalid = int(sum(int(np.asarray(v))
@@ -445,27 +526,62 @@ class SortingCount:
         # a kmer window appears in two pieces; the k-1 overlap yields each
         # window exactly once, so plain summation is exact.
 
-        histogram = Histogram(cfg.histo_max)
-        if len(counts):
-            histogram.add_counts(counts)
+        # ---- count processor vector (ICountProcessor.hpp:92-200) --------
+        # Default = histogram -> solidity -> collect, expressed as the
+        # plugin chain; with "auto" abundance the histogram runs as its
+        # own sweep first, exactly the reference's cutoff-processor +
+        # dsk-processor vector (SortingCountAlgorithm.cpp:468-510).
+        from .count_processor import (
+            CountProcessorChain, CountProcessorCollect,
+            CountProcessorHistogram, CountProcessorSolidity)
 
-        # ---- solidity ----------------------------------------------------
-        if cfg.auto_cutoff:
-            cutoff = histogram.compute_threshold(cfg.abundance_min_threshold)
-            amin = cutoff
-        else:
-            amin = int(cfg.abundance_min)
-            histogram.cutoff = amin
+        hist_proc = CountProcessorHistogram(cfg.histo_max,
+                                            cfg.abundance_min_threshold)
         amax = cfg.abundance_max
-        solid_mask = (counts >= amin) & (counts <= amax)
-        solid_kmers = uniq[solid_mask]
-        solid_counts = counts[solid_mask]
-        histogram.nb_solids_after_cutoff = int(solid_mask.sum())
+        if cfg.auto_cutoff:
+            solidity = CountProcessorSolidity(
+                cfg.solidity_kind, (0, amax), auto_histogram=hist_proc)
+        else:
+            solidity = CountProcessorSolidity(
+                cfg.solidity_kind, (int(cfg.abundance_min), amax))
+        collect = CountProcessorCollect()
+        if cfg.auto_cutoff:
+            vector = [CountProcessorChain(hist_proc),
+                      CountProcessorChain(solidity, collect)]
+        else:
+            vector = [CountProcessorChain(hist_proc, solidity, collect)]
+        if self.processor is not None:
+            vector.append(self.processor)
+
+        with ti.section("4.process"):
+            for proc in vector:
+                proc.begin(cfg)
+                clones = []
+                for p, uniq_p, counts_p in parts:
+                    proc.begin_pass(p)
+                    c = proc.clone()
+                    c.begin_part(p, p, 0, "superbatch")
+                    c.process_table(p, uniq_p, counts_p[:, None],
+                                    counts_p)
+                    c.end_part(p, p)
+                    clones.append(c)
+                    proc.end_pass(p)
+                proc.finish_clones(clones)
+                proc.end()
+
+        solid_kmers, _, solid_sums = collect.result(w)
+        solid_counts = solid_sums.astype(np.int32)
+        histogram = hist_proc.histogram
+        amin = solidity.resolve_cutoff()
+        if not cfg.auto_cutoff:
+            histogram.cutoff = amin
+        histogram.nb_solids_after_cutoff = len(solid_counts)
+        nb_distinct = int(sum(len(cp) for _, _, cp in parts))
 
         info = {
-            "kmers_nb_distinct": int(len(counts)),
+            "kmers_nb_distinct": nb_distinct,
             "kmers_nb_solid": int(len(solid_counts)),
-            "kmers_nb_weak": int(len(counts) - len(solid_counts)),
+            "kmers_nb_weak": int(nb_distinct - len(solid_counts)),
             "kmers_nb_valid": int(kmers_nb_valid),
             "kmers_nb_invalid": int(kmers_nb_invalid),
             "sequences_number": int(nb_seq),
@@ -507,9 +623,11 @@ def _merge_table_list(tables, w: int):
             pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
         tables = tables[2:] + [(planes, counts, int(n))]
     planes, counts, n = tables[0]
-    uniq = np.stack([np.asarray(p)[:n] for p in planes], axis=1) \
+    # slice ON DEVICE before fetching: the tunnel ships every fetched
+    # byte at 25-250 MB/s, so fetch exactly n rows, not the capacity
+    uniq = np.stack([np.asarray(p[:n]) for p in planes], axis=1) \
         if n else np.zeros((0, w), np.uint32)
-    return uniq, np.asarray(counts)[:n].astype(np.int32)
+    return uniq, np.asarray(counts[:n]).astype(np.int32)
 
 
 def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):
@@ -542,9 +660,13 @@ def _merge_jit(kmers, counts, inv) -> CountTable:
     return count_sorted(sk, si, weights=sc)
 
 
-def count_kmers(bank, **kwargs) -> CountResult:
-    """Convenience API: count kmers of a bank (URI, IBank, or list)."""
-    return SortingCount(CountConfig(**kwargs)).execute(bank)
+def count_kmers(bank, processor=None, **kwargs) -> CountResult:
+    """Convenience API: count kmers of a bank (URI, IBank, or list).
+
+    ``processor``: optional custom CountProcessor joining the run's
+    processor vector (see SortingCount)."""
+    return SortingCount(CountConfig(**kwargs),
+                        processor=processor).execute(bank)
 
 
 # ---------------------------------------------------------------------------
@@ -667,6 +789,7 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
                           batch_reads: int = 1024, batch_len: int = 256,
                           superbatch_rows: int = 1 << 22,
                           minimizer_size: int = 10, nb_passes: int = 1,
+                          processor=None,
                           **kwargs) -> MultiBankCountResult:
     """One-pass multibank counting: all banks stream through ONE counting
     pipeline with per-bank count columns riding the sort (reference
@@ -776,6 +899,21 @@ def count_kmers_multibank(banks, kmer_size: int = 31,
         amax = amax * nb
     thresholds = list(zip(amin, amax))
     solid = solidity_check(counts, solidity_kind, thresholds, solid_vec)
+
+    if processor is not None:
+        # custom CountProcessor sweep over the kmer-complete matrix
+        # (ICountProcessor.hpp:92-200 lifecycle; per-bank counts like the
+        # reference _multibank PartitionsCommands feed their processor)
+        processor.begin(None)
+        processor.begin_pass(0)
+        clone = processor.clone()
+        clone.begin_part(0, 0, 0, "multibank")
+        clone.process_table(0, uniq, counts,
+                            counts.sum(axis=1).astype(np.int64))
+        clone.end_part(0, 0)
+        processor.end_pass(0)
+        processor.finish_clones([clone])
+        processor.end()
 
     total = counts.sum(axis=1).astype(np.int64)
     info = {

@@ -58,6 +58,9 @@ def get_lib():
         lib.fastx_next_batch.restype = ctypes.c_int
         lib.fastx_next_batch.argtypes = [ctypes.c_void_p] + [
             ctypes.c_void_p] * 3
+        lib.fastx_next_batch_packed.restype = ctypes.c_int
+        lib.fastx_next_batch_packed.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_void_p] * 3
         lib.fastx_stats.restype = None
         lib.fastx_stats.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_int64),
@@ -111,6 +114,27 @@ class NativeBatcher:
                 if rows == 0:
                     break
                 yield codes, valid.view(bool), lengths, int(rows)
+        finally:
+            self.close()
+
+    def iter_packed(self):
+        """Packed-transfer batches: (words (B, ceil(L/16)) uint32,
+        vmask (B, ceil(L/32)) uint32, lengths, rows) — the 2.25 bits/base
+        host->device format (pack_words/pack_valid layout, packed in C++)."""
+        lib, B, L = self._lib, self.B, self.L
+        nw, nv = (L + 15) // 16, (L + 31) // 32
+        try:
+            while True:
+                words = np.zeros((B, nw), np.uint32)
+                vmask = np.zeros((B, nv), np.uint32)
+                lengths = np.zeros((B,), np.int32)
+                rows = lib.fastx_next_batch_packed(
+                    self._h, words.ctypes.data_as(ctypes.c_void_p),
+                    vmask.ctypes.data_as(ctypes.c_void_p),
+                    lengths.ctypes.data_as(ctypes.c_void_p))
+                if rows == 0:
+                    break
+                yield words, vmask, lengths, int(rows)
         finally:
             self.close()
 

@@ -201,6 +201,63 @@ struct Batcher {
     }
     return row;
   }
+
+  // Packed-transfer variant: fills 2-bit code words (ceil(L/16) uint32 per
+  // row, first base in the MSBs) + validity bitmasks (ceil(L/32) uint32,
+  // first base at bit 31) — 2.25 bits/base over the host->device link
+  // instead of 16 (the remote tunnel is the end-to-end bottleneck).
+  // Layout matches ops/kmer_ops.pack_words / pack_valid bit-for-bit.
+  int next_batch_packed(uint32_t* words, uint32_t* vmask, int32_t* lengths) {
+    const int nw = (L + 15) / 16, nv = (L + 31) / 32;
+    int row = 0;
+    while (row < B) {
+      if (!carry_active) {
+        if (done || !reader.next(carry)) {
+          done = true;
+          break;
+        }
+        nb_seqs++;
+        total_size += (int64_t)carry.size();
+        carry_pos = 0;
+        carry_active = true;
+      }
+      const size_t n = carry.size();
+      size_t pos = carry_pos;
+      if (pos != 0 && pos + (size_t)(k - 1) >= n) {
+        carry_active = false;
+        continue;
+      }
+      size_t m = n - pos < (size_t)L ? n - pos : (size_t)L;
+      uint32_t* wrow = words + (size_t)row * nw;
+      uint32_t* vrow = vmask + (size_t)row * nv;
+      const unsigned char* src = (const unsigned char*)carry.data() + pos;
+      uint32_t cw = 0, vw = 0;
+      size_t i = 0;
+      for (; i < m; i++) {
+        const unsigned char ch = src[i];
+        cw |= (uint32_t)kTables.code[ch] << (30 - 2 * (i & 15));
+        vw |= (uint32_t)kTables.valid[ch] << (31 - (i & 31));
+        if ((i & 15) == 15) {
+          wrow[i >> 4] = cw;
+          cw = 0;
+        }
+        if ((i & 31) == 31) {
+          vrow[i >> 5] = vw;
+          vw = 0;
+        }
+      }
+      if (i & 15) wrow[i >> 4] = cw;
+      if (i & 31) vrow[i >> 5] = vw;
+      lengths[row] = (int32_t)m;
+      row++;
+      if (pos + (size_t)L >= n) {
+        carry_active = false;
+      } else {
+        carry_pos = pos + (size_t)(L - (k - 1));
+      }
+    }
+    return row;
+  }
 };
 
 }  // namespace
@@ -219,6 +276,11 @@ void* fastx_open(const char* path, int k, int batch_reads, int batch_len) {
 int fastx_next_batch(void* h, uint8_t* codes, uint8_t* valid,
                      int32_t* lengths) {
   return static_cast<Batcher*>(h)->next_batch(codes, valid, lengths);
+}
+
+int fastx_next_batch_packed(void* h, uint32_t* words, uint32_t* vmask,
+                            int32_t* lengths) {
+  return static_cast<Batcher*>(h)->next_batch_packed(words, vmask, lengths);
 }
 
 void fastx_stats(void* h, int64_t* nb_seqs, int64_t* total_size) {

@@ -46,6 +46,29 @@ def ascii_to_codes(buf: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return codes, valid
 
 
+def pack_batch_np(codes: np.ndarray, valid: np.ndarray):
+    """Host-side packing of a (B, L) code/validity batch into the packed
+    transfer format (2 bits/base + 1 bit/base): (words (B, ceil(L/16))
+    uint32 MSB-first, vmask (B, ceil(L/32)) uint32 bit31-first).
+
+    Matches ops/kmer_ops.pack_words / pack_valid bit-for-bit; used by the
+    Python batch-builder fallback (the native batcher packs in C++)."""
+    B, L = codes.shape
+    pad = (-L) % 16
+    c = codes.astype(np.uint32)
+    if pad:
+        c = np.concatenate([c, np.zeros((B, pad), np.uint32)], axis=1)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    words = (c.reshape(B, -1, 16) << shifts).sum(axis=2, dtype=np.uint32)
+    padv = (-L) % 32
+    v = valid.astype(np.uint32)
+    if padv:
+        v = np.concatenate([v, np.zeros((B, padv), np.uint32)], axis=1)
+    shifts_v = (31 - np.arange(32, dtype=np.uint32))[None, None, :]
+    vmask = (v.reshape(B, -1, 32) << shifts_v).sum(axis=2, dtype=np.uint32)
+    return words, vmask
+
+
 def revcomp_u32(mmer: jnp.ndarray, m: int) -> jnp.ndarray:
     """Reverse complement of an m-mer packed in uint32 (2 bits/base, m <= 16).
 

@@ -138,6 +138,102 @@ def extract_kmers(codes: jnp.ndarray, valid: jnp.ndarray, lengths: jnp.ndarray,
     return KmerBatch(canon, kvalid, minim)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "L", "m", "with_minimizers"))
+def extract_kmers_packed(words: jnp.ndarray, vmask: jnp.ndarray,
+                         lengths: jnp.ndarray, k: int, L: int, m: int = 10,
+                         freq_order: jnp.ndarray | None = None,
+                         with_minimizers: bool = True) -> KmerBatch:
+    """extract_kmers over the packed transfer format (pack_words/
+    pack_valid): words (B, ceil(L/16)) uint32, vmask (B, ceil(L/32)).
+
+    The limb extraction consumes the packed words directly (they ARE the
+    internal stream _window_limbs builds), so the device never
+    materializes byte codes unless minimizers are requested."""
+    B = words.shape[0]
+    if L < k:
+        raise ValueError(f"padded length {L} < k={k}")
+    if B > _MAX_EXTRACT_ROWS and B % _MAX_EXTRACT_ROWS == 0:
+        nchunk = B // _MAX_EXTRACT_ROWS
+
+        def one(args):
+            return extract_kmers_packed(*args, k, L, m, freq_order,
+                                        with_minimizers)
+
+        out = jax.lax.map(one, (words.reshape(nchunk, -1, words.shape[1]),
+                                vmask.reshape(nchunk, -1, vmask.shape[1]),
+                                lengths.reshape(nchunk, -1)))
+        return KmerBatch(
+            out.kmers.reshape(B, *out.kmers.shape[2:]),
+            out.valid.reshape(B, -1),
+            None if out.minimizer is None
+            else out.minimizer.reshape(B, -1))
+    P = L - k + 1
+    fwds = _window_limbs_from_words(words, L, k)
+    revs = revcomp_limbs_(fwds, k)
+    canon = jnp.where(lex_lt(fwds, revs)[..., None], fwds, revs)
+
+    valid = unpack_valid(vmask, L)
+    inval = (~valid).astype(jnp.int32)
+    cum = jnp.cumsum(inval, axis=1)
+    cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum], axis=1)
+    window_bad = cum[:, k:] - cum[:, :P]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    inside = pos + k <= lengths[:, None]
+    kvalid = (window_bad == 0) & inside
+
+    if with_minimizers:
+        minim = _minimizers(unpack_codes(words, L), k, m, freq_order)
+    else:
+        minim = None
+    return KmerBatch(canon, kvalid, minim)
+
+
+def pack_words(codes: jnp.ndarray) -> jnp.ndarray:
+    """Pack (B, L) 2-bit codes 16-per-uint32, first code in the MSBs.
+
+    The packed-word stream is the transfer format of the production
+    driver: 2 bits/base over the host->device link instead of 8
+    (the remote-tunnel link is the end-to-end bottleneck, BASELINE.md).
+    """
+    B, L = codes.shape
+    pad = (-L) % 16
+    c = codes.astype(U32)
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((B, pad), U32)], axis=1)
+    cw = c.reshape(B, -1, 16)
+    shifts = (30 - 2 * jnp.arange(16, dtype=U32))[None, None, :]
+    return jnp.sum(cw << shifts, axis=2, dtype=U32)
+
+
+def pack_valid(valid: jnp.ndarray) -> jnp.ndarray:
+    """Pack (B, L) validity bools 32-per-uint32, first position at bit 31."""
+    B, L = valid.shape
+    pad = (-L) % 32
+    v = valid.astype(U32)
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((B, pad), U32)], axis=1)
+    vw = v.reshape(B, -1, 32)
+    shifts = (31 - jnp.arange(32, dtype=U32))[None, None, :]
+    return jnp.sum(vw << shifts, axis=2, dtype=U32)
+
+
+def unpack_valid(vmask: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(B, ceil(L/32)) uint32 -> (B, L) bool (inverse of pack_valid)."""
+    B = vmask.shape[0]
+    shifts = (31 - jnp.arange(32, dtype=U32))[None, None, :]
+    bits = (vmask[:, :, None] >> shifts) & U32(1)
+    return bits.reshape(B, -1)[:, :L] != 0
+
+
+def unpack_codes(words: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(B, ceil(L/16)) uint32 -> (B, L) uint8 codes (inverse of pack_words)."""
+    B = words.shape[0]
+    shifts = (30 - 2 * jnp.arange(16, dtype=U32))[None, None, :]
+    c = (words[:, :, None] >> shifts) & U32(3)
+    return c.reshape(B, -1)[:, :L].astype(jnp.uint8)
+
+
 def _window_limbs(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Forward k-mer limbs for every window position, scan-free.
 
@@ -145,19 +241,20 @@ def _window_limbs(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     limb as 32 bits at stream offset ``2*i + 2k - 32*(W-j)`` via funnel
     shifts, vectorized over the 16 offset classes of window positions.
     """
-    B, L = codes.shape
+    return _window_limbs_from_words(pack_words(codes), codes.shape[1], k)
+
+
+def _window_limbs_from_words(pw0: jnp.ndarray, L: int, k: int) -> jnp.ndarray:
+    """Forward k-mer limbs for every window from packed 16-code words."""
+    B = pw0.shape[0]
     w = nb_limbs(k)
     P = L - k + 1
     # number of 16-code words needed, padded so every extract stays in range
     nq_out = (P + 15) // 16
     n_words = (L + 15) // 16 + w + 1
-    pad = n_words * 16 - L
-    c = codes.astype(U32)
-    if pad:
-        c = jnp.concatenate([c, jnp.zeros((B, pad), U32)], axis=1)
-    cw = c.reshape(B, n_words, 16)
-    shifts = (30 - 2 * jnp.arange(16, dtype=U32))[None, None, :]
-    pw = jnp.sum(cw << shifts, axis=2, dtype=U32)  # (B, n_words)
+    pad_w = n_words - pw0.shape[1]
+    pw = pw0 if pad_w <= 0 else jnp.concatenate(
+        [pw0, jnp.zeros((B, pad_w), U32)], axis=1)
 
     def extract32(word_idx_base: int, bit: int, nq: int):
         """32 bits at stream offset 32*word_idx_base + bit for nq starts."""

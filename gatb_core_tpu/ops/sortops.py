@@ -582,10 +582,23 @@ def count_sorted_planes(planes, inv, weights=None, cap_out: int | None = None,
     n_rows = planes[0].shape[0]
     if cap_out is None:
         cap_out = n_rows
-    starts, rid, n, is_end = _run_stats(planes, inv)
+    neq = planes[0][1:] != planes[0][:-1]
+    for p in planes[1:]:
+        neq = neq | (p[1:] != p[:-1])
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq]) & ~inv
+    next_inv = jnp.concatenate([inv[1:], jnp.ones((1,), bool)])
+    next_neq = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    is_end = (~inv) & (next_neq | next_inv)
+    n = jnp.sum(starts).astype(I32)
     if weights is None:
-        weights = jnp.ones((n_rows,), I32)
-    cumw = _cumw(inv, weights)
+        # the contract puts every invalid row at the tail, so the masked
+        # cumsum of all-ones weights is min(i+1, n_valid) — elementwise,
+        # saving a full-array scan on the hot counting path
+        n_valid = (n_rows - jnp.sum(inv)).astype(I32)
+        idx = jax.lax.broadcasted_iota(I32, (n_rows,), 0)
+        cumw = jnp.minimum(idx + 1, n_valid)
+    else:
+        cumw = _cumw(inv, weights)
     if blocked:
         out_planes, cwe, _, live, ovb = _compact_ends_blocked(
             planes, cumw, is_end, (), n, cap_out)
@@ -608,7 +621,7 @@ def count_sorted_planes_multi(planes, inv, weights_list,
     n_rows = planes[0].shape[0]
     if cap_out is None:
         cap_out = n_rows
-    starts, rid, n, is_end = _run_stats(planes, inv)
+    starts, _, n, is_end = _run_stats(planes, inv)
     cws = tuple(_cumw(inv, w_) for w_ in weights_list)
     # order key = cumsum of TOTAL weight (>= 1 per valid row, so strictly
     # increasing across run ends); per-bank cumsums ride as payloads

@@ -52,10 +52,14 @@ def extract_all(all_codes, salt):
 
 
 def repeat(fn):
-    def run(x0):
+    """fn(salt, *ops) -> (chk, ...). Operand arrays ride as explicit jit
+    args — closure-captured 94MB constants get serialized INTO the remote
+    compile request body (HTTP 413 above ~2 planes)."""
+
+    def run(x0, *ops):
         def body(i, carry):
             salt, acc = carry
-            out = fn(salt)
+            out = fn(salt, *ops)
             chk = out[0]
             return ((chk & jnp.uint32(3)).astype(jnp.uint8),
                     acc + chk + jnp.uint32(i))
@@ -98,13 +102,13 @@ RAND = [jnp.asarray(rng.integers(0, 1 << 32, N_ROWS, dtype=np.uint64)
 
 
 def _sortp(n_planes):
-    def fn(salt):
-        planes = tuple(RAND[j] + salt.astype(U32) * U32(j + 1)
+    def fn(salt, *ops):
+        planes = tuple(ops[j] + salt.astype(U32) * U32(j + 1)
                        for j in range(n_planes))
         out = jax.lax.sort(planes, num_keys=n_planes)
         return (out[0][N_ROWS // 2] + out[-1][N_ROWS // 3],)
 
-    timed(f"sort{n_planes}", repeat(fn))
+    timed(f"sort{n_planes}", repeat(fn), *RAND[:n_planes])
 
 
 def stage_sort1():
@@ -118,14 +122,14 @@ def stage_sort3():
 def _bsort(block, n_planes, n_keys=1):
     nb = N_ROWS // block
 
-    def fn(salt):
-        planes = tuple(RAND[j][:nb * block].reshape(nb, block)
+    def fn(salt, *ops):
+        planes = tuple(ops[j][:nb * block].reshape(nb, block)
                        + salt.astype(U32) * U32(j + 1)
                        for j in range(n_planes))
         out = jax.lax.sort(planes, dimension=1, num_keys=n_keys)
         return (out[0][nb // 2, block // 2] + out[-1][nb // 3, 7],)
 
-    timed(f"bsort_s{block}_p{n_planes}", repeat(fn))
+    timed(f"bsort_s{block}_p{n_planes}", repeat(fn), *RAND[:n_planes])
 
 
 def stage_bsort4096():
@@ -138,6 +142,34 @@ def stage_bsort1024():
 
 def stage_bsort512():
     _bsort(512, 3)
+
+
+def stage_bsort4096k2():
+    _bsort(4096, 2, n_keys=2)
+
+
+def stage_bsort131072():
+    _bsort(131072, 2, n_keys=2)
+
+
+def stage_bsort16384():
+    _bsort(16384, 2, n_keys=2)
+
+
+def stage_transpose():
+    r, s = 131072, 180
+
+    def fn(salt, h, l):
+        a = (h[:r * s] + salt.astype(U32)).reshape(s, r)
+        b = (l[:r * s] ^ salt.astype(U32)).reshape(s, r)
+        at = a.T.reshape(-1)
+        bt = b.T.reshape(-1)
+        # position-weighted sums so the permutation can't be elided
+        idx = jax.lax.broadcasted_iota(U32, (r * s,), 0)
+        w_ = idx * U32(2654435761)
+        return (jnp.sum(at * w_, dtype=U32) ^ jnp.sum(bt * w_, dtype=U32),)
+
+    timed("transpose_2p", repeat(fn), RAND[0], RAND[1])
 
 
 def _full_blocked(cap_out):
