@@ -163,16 +163,33 @@ def make_count_step(mesh, k: int, m: int = 10, capacity_factor: float = 2.0,
     return wrapped
 
 
-def count_kmers_distributed(bank, mesh, kmer_size: int = 31,
-                            minimizer_size: int = 10, abundance_min=2,
-                            abundance_max: int = 2**31 - 1,
-                            nb_passes: int = 1,
-                            batch_reads_per_device: int = 256,
-                            batch_len: int = 256,
-                            capacity_factor: float = 2.0,
-                            repartitor="auto",
-                            histo_max: int = 10000):
-    """End-to-end multi-device SortingCount over a mesh.
+def count_kmers_distributed(bank, mesh, **kwargs):
+    """End-to-end multi-device SortingCount over a mesh — production shape.
+
+    Delegates to the superbatch exchange driver
+    (parallel/superbatch.py): one dispatch per superbatch covering
+    extraction + range-partition all-to-all + device-resident accumulator
+    merge, one table fetch per pass, transactional overflow retry. The
+    batch-granular host-merge driver below remains available as
+    count_kmers_distributed_hostmerge (correctness harness / reference
+    for the equality tests).
+    """
+    from .superbatch import count_kmers_distributed_superbatch
+
+    return count_kmers_distributed_superbatch(bank, mesh, **kwargs)
+
+
+def count_kmers_distributed_hostmerge(
+        bank, mesh, kmer_size: int = 31,
+        minimizer_size: int = 10, abundance_min=2,
+        abundance_max: int = 2**31 - 1,
+        nb_passes: int = 1,
+        batch_reads_per_device: int = 256,
+        batch_len: int = 256,
+        capacity_factor: float = 2.0,
+        repartitor="auto",
+        histo_max: int = 10000):
+    """Batch-granular multi-device SortingCount (host merge per batch).
 
     The full production pipeline of SortingCountAlgorithm::execute
     (kmer/impl/SortingCountAlgorithm.cpp:636-680) in SPMD form: the bank

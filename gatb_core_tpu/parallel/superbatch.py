@@ -1,0 +1,474 @@
+"""Production-shape multi-chip counting: superbatch exchange driver.
+
+TPU-first redesign of the reference's streaming partition exchange
+(SortingCountAlgorithm::fillPartitions + PartitionsCommand,
+kmer/impl/SortingCountAlgorithm.cpp:1211-1600). One jitted shard_map
+dispatch per superbatch does ALL of:
+
+  extraction (packed 2-bit words) -> DSK pass filter -> local sort +
+  distinct reduce -> kmer-RANGE split (contiguous slices of the sorted
+  table -- no scatters) -> all-to-all over the ICI mesh -> per-device
+  merge into a device-RESIDENT accumulated table (the carry).
+
+Key departures from both the reference and the correctness-grade driver
+in exchange.py, chosen for the hardware:
+
+- **Range partitioning replaces minimizer partitioning.** The reference
+  routes by minimizer because superkmers sharing a minimizer compress
+  the disk spill. On TPU the exchange payload is the per-superbatch
+  *distinct table* (already sorted), so routing by kmer RANGE makes
+  every device's send segment a contiguous slice (ndev dynamic-slice
+  DMAs, zero scatters -- random scatters run ~50M elem/s on this stack,
+  BASELINE.md) and makes the final global table the plain concatenation
+  of per-device tables: device d owns range d, each table is sorted, so
+  the concatenation IS the globally sorted result. Range boundaries come
+  from a sampled census (quantiles of the canonical-kmer distribution --
+  the same sampling role as RepartitorAlgorithm, PartiInfo.cpp:48-106;
+  canonical kmers are min(x, revcomp(x)) and therefore NOT uniform, so
+  fixed uniform ranges would skew ~2x).
+- **The accumulator is device-resident.** Per-superbatch received rows
+  merge into a per-device carry table inside the same dispatch (ONE
+  sort + scan reduce of carry+received); only scalars (sizes, overflow
+  flags) leave the device per superbatch, and the table is fetched ONCE
+  per pass. The correctness-grade driver fetched + host-merged every
+  batch (exchange.py:222-233).
+- **Overflow is transactional, not recounted.** Any capacity overflow
+  (local distinct table, send window, accumulator) is OR-reduced over
+  the mesh inside the dispatch; if set, the carry is left UNCHANGED
+  (jnp.where select) and the host retries the same superbatch with
+  doubled capacity -- no shadow second sort per batch, exactness by
+  construction. The reference's equivalent guard is the fillSolidKmers
+  memory re-plan (SortingCountAlgorithm.cpp:1500-1540).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import DATA_AXIS
+from ..ops.kmer_ops import extract_kmers, extract_kmers_packed, nb_limbs
+from ..ops.sortops import count_planes
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _ge_bound(planes, bound):
+    """Elementwise big-endian lexicographic rows >= bound (bound: (W,))."""
+    ge = jnp.zeros_like(planes[0], bool)
+    eq = jnp.ones_like(planes[0], bool)
+    for j, p in enumerate(planes):
+        ge = ge | (eq & (p > bound[j]))
+        eq = eq & (p == bound[j])
+    return ge | eq
+
+
+def sample_range_bounds(bank, k: int, ndev: int, sample_reads: int = 4096,
+                        batch_len: int = 256) -> np.ndarray:
+    """Range-census: canonical-kmer quantile boundaries from a bank sample.
+
+    Returns (ndev-1, W) uint32 split keys; device d owns
+    [bounds[d-1], bounds[d]). Plays the RepartitorAlgorithm sampling role
+    (kmer/impl/RepartitorAlgorithm.cpp) for range partitioning: canonical
+    kmers distribute like min(U, U'), so quantiles must be measured, not
+    assumed uniform.
+    """
+    from ..kmer.counting import _BatchBuilder
+
+    w = nb_limbs(k)
+    if ndev <= 1:
+        return np.zeros((0, w), np.uint32)
+    builder = _BatchBuilder(k, sample_reads, batch_len)
+    got = None
+    for seq in bank:
+        for b in builder.add(seq.data):
+            got = b
+            break
+        if got is not None:
+            break
+    if got is None and builder.row:
+        got = builder.flush()
+    uniform = np.zeros((ndev - 1, w), np.uint32)
+    uniform[:, 0] = ((np.arange(1, ndev, dtype=np.uint64) << 32)
+                     // ndev).astype(np.uint32)
+    if got is None:
+        return uniform
+    codes, valid, lengths, _rows = got
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _extract(codes, valid, lengths, k):
+        kb = extract_kmers(codes, valid, lengths, k,
+                           with_minimizers=False)
+        return kb.kmers, kb.valid
+
+    km, kv = _extract(jnp.asarray(codes), jnp.asarray(valid),
+                      jnp.asarray(lengths), k)
+    km = np.asarray(km).reshape(-1, w)
+    kv = np.asarray(kv).reshape(-1)
+    km = km[kv]
+    if len(km) < 4 * ndev:
+        return uniform
+    order = np.lexsort(tuple(km[:, j] for j in reversed(range(w))))
+    km = km[order]
+    idx = (np.arange(1, ndev, dtype=np.int64) * len(km)) // ndev
+    return km[idx].astype(np.uint32)
+
+
+def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
+                         cap_local: int, cap_send: int, cap_acc: int,
+                         packed: bool):
+    """Build the jitted one-dispatch-per-superbatch exchange step.
+
+    Returns fn(words, vmask, lengths, pass_i, bounds, acc_planes tuple,
+    acc_counts, acc_n) -> (new_acc_planes, new_acc_counts, new_acc_n,
+    scalars) where the acc arrays are (ndev*cap_acc,) sharded over the
+    data axis and scalars = (any_overflow (), n_valid (ndev,),
+    n_inside (ndev,), n_acc_after (ndev,)).
+    """
+    ndev = mesh.shape[DATA_AXIS]
+    w = nb_limbs(k)
+    spare = (2 * k) % 32 != 0
+
+    def step(words, vmask, lengths, pass_i, bounds, *acc):
+        acc_planes = acc[:w]
+        acc_counts = acc[w]
+        acc_n = acc[w + 1]          # (1,) local
+        # ---- extraction over the local read shard ----------------------
+        def ext(args):
+            c, v, l = args
+            if packed:
+                kb = extract_kmers_packed(c, v, l, k, L, m,
+                                          with_minimizers=nb_passes > 1)
+            else:
+                kb = extract_kmers(c, v, l, k, m,
+                                   with_minimizers=nb_passes > 1)
+            pv = kb.valid
+            if nb_passes > 1:
+                # DSK pass filter (SortingCountAlgorithm.cpp:806)
+                pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
+                           == pass_i.astype(jnp.uint32))
+            planes = tuple(kb.kmers[..., j].reshape(-1) for j in range(w))
+            return planes, pv.reshape(-1), jnp.sum(kb.valid)
+
+        planes, pv, nvs = jax.lax.map(ext, (words, vmask, lengths))
+        flat = tuple(p.reshape(-1) for p in planes)
+        fv = pv.reshape(-1)
+        n_valid = jnp.sum(nvs).astype(I32)
+        n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0)).astype(I32)
+
+        # ---- local sort + distinct reduce ------------------------------
+        loc_p, loc_c, n_loc, ovf_loc = count_planes(
+            flat, fv, spare_bits=spare, cap_out=cap_local, blocked=True)
+
+        # ---- kmer-range split: owner per row (elementwise, no gathers) --
+        idx = jax.lax.broadcasted_iota(I32, (cap_local,), 0)
+        live = idx < n_loc
+        owner = jnp.zeros((cap_local,), I32)
+        for j in range(ndev - 1):
+            owner = owner + _ge_bound(loc_p, bounds[j]).astype(I32)
+        # per-owner live counts -> contiguous segment starts
+        cnt = jnp.stack([jnp.sum(live & (owner == o)).astype(I32)
+                         for o in range(ndev)])
+        starts = jnp.concatenate([jnp.zeros((1,), I32),
+                                  jnp.cumsum(cnt)[:-1]])
+        send_counts = jnp.minimum(cnt, cap_send)
+        n_over = jnp.sum(cnt - send_counts)
+
+        # sentinel tail so dynamic slices never clamp
+        padded = [jnp.concatenate([p, jnp.full((cap_send,), U32(0xFFFFFFFF))])
+                  for p in loc_p]
+        padded.append(jnp.concatenate([loc_c.astype(U32),
+                                       jnp.zeros((cap_send,), U32)]))
+        # (ndev, cap_send, W+1): ndev contiguous DMA slices, zero scatters
+        send = jnp.stack([
+            jnp.stack([jax.lax.dynamic_slice(pl, (starts[o],), (cap_send,))
+                       for pl in padded], axis=-1)
+            for o in range(ndev)])
+
+        # ---- all-to-all over the mesh -----------------------------------
+        recv = jax.lax.all_to_all(send, DATA_AXIS, 0, 0)
+        recv_counts = jax.lax.all_to_all(
+            send_counts.reshape(ndev, 1), DATA_AXIS, 0, 0).reshape(ndev)
+
+        # ---- merge received + carry (device-resident accumulator) ------
+        rflat = recv.reshape(ndev * cap_send, w + 1)
+        seg_iota = jax.lax.broadcasted_iota(
+            I32, (ndev, cap_send), 1).reshape(-1)
+        rvalid = seg_iota < jnp.repeat(recv_counts, cap_send)
+        aidx = jax.lax.broadcasted_iota(I32, (cap_acc,), 0)
+        avalid = aidx < acc_n[0]
+        cat_p = tuple(jnp.concatenate([acc_planes[j], rflat[:, j]])
+                      for j in range(w))
+        cat_c = jnp.concatenate([acc_counts,
+                                 rflat[:, w].astype(I32)])
+        cat_v = jnp.concatenate([avalid, rvalid])
+        new_p, new_c, n_acc2, ovf_acc = count_planes(
+            cat_p, cat_v, weights=cat_c, spare_bits=True, cap_out=cap_acc)
+
+        # ---- transactional commit: abort the whole superbatch on ANY
+        # overflow anywhere in the mesh (host retries with bigger caps;
+        # the three flags tell it WHICH capacity to grow) ----------------
+        f_loc = jax.lax.psum(ovf_loc.astype(I32), DATA_AXIS) > 0
+        f_send = jax.lax.psum((n_over > 0).astype(I32), DATA_AXIS) > 0
+        f_acc = jax.lax.psum(ovf_acc.astype(I32), DATA_AXIS) > 0
+        any_ovf = f_loc | f_send | f_acc
+        out_p = tuple(jnp.where(any_ovf, a, b)
+                      for a, b in zip(acc_planes, new_p))
+        out_c = jnp.where(any_ovf, acc_counts, new_c)
+        out_n = jnp.where(any_ovf, acc_n, n_acc2.reshape(1))
+        flags = jnp.stack([f_loc, f_send, f_acc]).astype(I32).reshape(3)
+        return out_p + (out_c, out_n, flags.reshape(1, 3),
+                        n_valid.reshape(1), n_inside.reshape(1))
+
+    dspec = P(DATA_AXIS)
+    in_specs = (P(None, DATA_AXIS, None), P(None, DATA_AXIS, None),
+                P(None, DATA_AXIS), P(), P()) + tuple([dspec] * (w + 2))
+    out_specs = tuple([dspec] * (w + 2)) + (P(DATA_AXIS, None), dspec, dspec)
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return jax.jit(fn)
+
+
+def count_kmers_distributed_superbatch(
+        bank, mesh, kmer_size: int = 31, minimizer_size: int = 10,
+        abundance_min=2, abundance_max: int = 2**31 - 1,
+        nb_passes: int = 1, batch_reads_per_device: int = 256,
+        batch_len: int = 256, capacity_factor: float = 2.0,
+        superbatch_rows: int = 1 << 22, repartitor="auto",
+        histo_max: int = 10000, distinct_ratio_hint: float = 0.3,
+        packed: bool = True):
+    """End-to-end production-shape multi-device SortingCount over a mesh.
+
+    Semantics match the single-device SortingCount bit-for-bit for any
+    mesh size (tested on 2/4/8-device CPU meshes). ``repartitor`` is
+    accepted for API compatibility but unused: the superbatch driver
+    partitions by kmer RANGE (see module docstring), with boundaries from
+    its own sampled census; the Repartitor minimizer table remains the
+    graph-build artifact (/minimizers, reference stream format).
+    ``capacity_factor`` scales the all-to-all send window (small values
+    force the transactional overflow retry path).
+    """
+    from ..bank.fasta import open_bank
+    from ..kmer.counting import (_BatchBuilder, _prefetch, CountConfig,
+                                 CountResult)
+    from ..kmer.histogram import Histogram
+    from ..ops.bitpack import pack_batch_np
+
+    bank = open_bank(bank)
+    k = kmer_size
+    w = nb_limbs(k)
+    ndev = mesh.shape[DATA_AXIS]
+    nb_passes = max(1, int(nb_passes))
+    dsh = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    lsh = NamedSharding(mesh, P(None, DATA_AXIS))
+    ash = NamedSharding(mesh, P(DATA_AXIS))
+    rsh = NamedSharding(mesh, P())
+
+    bounds_np = sample_range_bounds(bank, k, ndev)
+    bounds = jax.device_put(jnp.asarray(bounds_np.reshape(ndev - 1, w)
+                                        if ndev > 1 else
+                                        np.zeros((0, w), np.uint32)), rsh)
+
+    Bg = batch_reads_per_device * ndev
+    builder = _BatchBuilder(k, Bg, batch_len)
+    L = builder.L
+    rows_per_batch = Bg * (L - k + 1)
+    G = max(1, int(superbatch_rows) // rows_per_batch)
+    rows_sb = G * rows_per_batch
+
+    # distinct estimate sizing the accumulator (the reference sizes its
+    # partitions from the plan's distinct estimate,
+    # ConfigurationAlgorithm.cpp:308-319); overflow retry guards exactness
+    try:
+        _, est_total, _ = bank.estimate()
+        est_kmers = max(est_total, rows_sb)
+    except Exception:
+        est_kmers = rows_sb * nb_passes
+    est_distinct = int(est_kmers * distinct_ratio_hint) + 1024
+
+    caps = {
+        "local": _next_pow2(max(256, min(
+            rows_sb // ndev, int(rows_sb / ndev * distinct_ratio_hint * 2)))),
+        "acc": _next_pow2(max(256, int(
+            est_distinct / max(1, nb_passes) / ndev * 1.5))),
+    }
+    caps["send"] = _next_pow2(max(
+        64, int(caps["local"] / ndev * capacity_factor)))
+
+    steps: dict = {}
+
+    def get_step():
+        key = (caps["local"], caps["send"], caps["acc"])
+        if key not in steps:
+            steps[key] = make_superbatch_step(
+                mesh, k=k, m=minimizer_size, nb_passes=nb_passes, L=L,
+                cap_local=caps["local"], cap_send=caps["send"],
+                cap_acc=caps["acc"], packed=packed)
+        return steps[key]
+
+    def fresh_carry():
+        zp = tuple(jax.device_put(
+            jnp.full((ndev * caps["acc"],), U32(0xFFFFFFFF)), ash)
+            for _ in range(w))
+        zc = jax.device_put(jnp.zeros((ndev * caps["acc"],), I32), ash)
+        zn = jax.device_put(jnp.zeros((ndev,), I32), ash)
+        return zp + (zc, zn)
+
+    def grow_carry(carry):
+        """Double cap_acc, padding the live carry into the new capacity."""
+        old_cap = carry[0].shape[0] // ndev
+        caps["acc"] = caps["acc"] * 2
+        new = []
+        for j in range(w):
+            arr = np.asarray(carry[j]).reshape(ndev, old_cap)
+            out = np.full((ndev, caps["acc"]), 0xFFFFFFFF, np.uint32)
+            out[:, :old_cap] = arr
+            new.append(jax.device_put(jnp.asarray(out.reshape(-1)), ash))
+        arr = np.asarray(carry[w]).reshape(ndev, old_cap)
+        out = np.zeros((ndev, caps["acc"]), np.int32)
+        out[:, :old_cap] = arr
+        new.append(jax.device_put(jnp.asarray(out.reshape(-1)), ash))
+        new.append(carry[w + 1])
+        return tuple(new)
+
+    nb_seq = 0
+    seq_total = 0
+
+    def produce(count_stats: bool):
+        nonlocal nb_seq, seq_total
+        for seq in bank:
+            if count_stats:
+                nb_seq += 1
+                seq_total += len(seq)
+            for batch in builder.add(seq.data):
+                yield batch
+        if builder.row:
+            yield builder.flush()
+
+    def stage(group):
+        """Stack G batches into global sharded device arrays."""
+        while len(group) < G:  # zero-pad the tail superbatch
+            group.append((np.zeros_like(group[0][0]),
+                          np.zeros_like(group[0][1]),
+                          np.zeros((Bg,), np.int32), 0))
+        codes = np.stack([b[0] for b in group])
+        valid = np.stack([b[1] for b in group])
+        lengths = np.stack([b[2] for b in group])
+        if packed:
+            words, vmask = pack_batch_np(codes.reshape(-1, L),
+                                         valid.reshape(-1, L))
+            words = words.reshape(G, Bg, -1)
+            vmask = vmask.reshape(G, Bg, -1)
+        else:
+            words, vmask = codes, valid
+        return (jax.device_put(jnp.asarray(words), dsh),
+                jax.device_put(jnp.asarray(vmask), dsh),
+                jax.device_put(jnp.asarray(lengths), lsh))
+
+    pass_tables: list = []   # (pass_i, kmers (N, W), counts (N,))
+    valid_total = 0
+    inside_total = 0
+
+    for pass_i in range(nb_passes):
+        first_pass = pass_i == 0
+        carry = fresh_carry()
+        group: list = []
+
+        def dispatch(group):
+            nonlocal carry, valid_total, inside_total
+            words, vmask, lengths = stage(group)
+            while True:
+                out = get_step()(words, vmask, lengths, jnp.int32(pass_i),
+                                 bounds, *carry)
+                new_carry = out[:w + 2]
+                flags = np.asarray(out[w + 2]).sum(axis=0)  # (loc, send, acc)
+                if not flags.any():
+                    if first_pass:
+                        valid_total += int(np.asarray(out[w + 3]).sum())
+                        inside_total += int(np.asarray(out[w + 4]).sum())
+                    carry = new_carry
+                    return
+                # transactional abort: carry unchanged; grow the capacity
+                # that actually overflowed, then retry the same superbatch
+                if flags[0]:
+                    caps["local"] = min(caps["local"] * 2,
+                                        _next_pow2(max(rows_sb, 256)))
+                if flags[1]:
+                    caps["send"] = min(caps["send"] * 2, caps["local"])
+                if flags[2]:
+                    carry = grow_carry(carry)
+
+        for batch in _prefetch(produce(first_pass), depth=4):
+            group.append(batch)
+            if len(group) == G:
+                dispatch(group)
+                group = []
+        if group:
+            dispatch(group)
+
+        # ---- ONE host fetch per pass: concat per-device range tables ---
+        acc_n = np.asarray(carry[w + 1])
+        cap_acc = caps["acc"]
+        segs_k, segs_c = [], []
+        kplanes = [np.asarray(carry[j]).reshape(ndev, cap_acc)
+                   for j in range(w)]
+        kcounts = np.asarray(carry[w]).reshape(ndev, cap_acc)
+        for d in range(ndev):
+            n_d = int(acc_n[d])
+            segs_k.append(np.stack([kplanes[j][d, :n_d]
+                                    for j in range(w)], axis=1))
+            segs_c.append(kcounts[d, :n_d])
+        pass_tables.append((np.concatenate(segs_k, axis=0),
+                            np.concatenate(segs_c, axis=0)))
+
+    # ---- cross-pass merge (passes partition kmers; ranges interleave) --
+    if nb_passes == 1:
+        uniq, counts = pass_tables[0]
+    else:
+        from ..kmer.counting import _global_merge
+
+        uniq, counts = _global_merge(
+            np.concatenate([t[0] for t in pass_tables]),
+            np.concatenate([t[1] for t in pass_tables]), w)
+
+    histogram = Histogram(histo_max)
+    if len(counts):
+        histogram.add_counts(counts)
+    if abundance_min == "auto":
+        amin = histogram.compute_threshold(2)
+    else:
+        amin = int(abundance_min)
+        histogram.cutoff = amin
+    solid = (counts >= amin) & (counts <= abundance_max)
+    info = {
+        "kmers_nb_distinct": int(len(counts)),
+        "kmers_nb_solid": int(solid.sum()),
+        "kmers_nb_weak": int(len(counts) - solid.sum()),
+        "kmers_nb_valid": int(valid_total),
+        "kmers_nb_invalid": int(inside_total - valid_total),
+        "sequences_number": int(nb_seq),
+        "sequences_size": int(seq_total),
+        "kmer_size": k,
+        "abundance_min": amin,
+        "abundance_max": abundance_max,
+        "nb_devices": ndev,
+        "nb_passes": nb_passes,
+    }
+    cfg = CountConfig(kmer_size=k, minimizer_size=minimizer_size,
+                      abundance_min=abundance_min,
+                      abundance_max=abundance_max, nb_passes=nb_passes)
+    histogram.nb_solids_after_cutoff = int(solid.sum())
+    return CountResult(uniq[solid], counts[solid].astype(np.int32),
+                       histogram, info, cfg)

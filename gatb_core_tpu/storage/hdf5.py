@@ -260,9 +260,14 @@ def load_solid(storage: Storage):
 
 def save_histogram(storage: Storage, histogram) -> None:
     g = storage.group("histogram")
-    pairs = histogram.to_pairs()
+    pairs = histogram.to_pairs()[1:]  # rows 1..max (reference skips 0,
+    # Histogram::save iterates 1.._length, misc/impl/Histogram.cpp)
+    # exact reference compound layout: u32 index @0, u64 abundance @8,
+    # itemsize 16 (the aligned Entry struct) — byte-comparable datasets
     rec = np.zeros(len(pairs), dtype=np.dtype(
-        [("index", np.uint64), ("abundance", np.uint64)]))
+        {"names": ["index", "abundance"],
+         "formats": [np.uint32, np.uint64],
+         "offsets": [0, 8], "itemsize": 16}))
     rec["index"] = pairs[:, 0]
     rec["abundance"] = pairs[:, 1]
     g.set_dataset("histogram", rec)

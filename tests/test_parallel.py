@@ -151,3 +151,56 @@ def test_sharded_count_with_repartitor():
     exp = count_kmers_py(seqs, k)
     got = dict(zip(kmers_to_py(gk), gc.tolist()))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Production superbatch exchange driver (parallel/superbatch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_superbatch_multi_dispatch_accumulates(test_db):
+    """Tiny superbatch_rows forces MANY dispatches per pass; the
+    device-resident accumulator must carry the table across them and the
+    final result must equal the single-device golden."""
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from gatb_core_tpu.parallel.superbatch import (
+        count_kmers_distributed_superbatch)
+    from gatb_core_tpu.kmer.counting import count_kmers
+
+    mesh = make_mesh(ndev)
+    res = count_kmers_distributed_superbatch(
+        f"{test_db}/reads1.fa", mesh, kmer_size=31, abundance_min=3,
+        batch_reads_per_device=16, superbatch_rows=1 << 14)
+    ref = count_kmers(f"{test_db}/reads1.fa", kmer_size=31, abundance_min=3)
+    assert res.info["kmers_nb_valid"] == ref.info["kmers_nb_valid"]
+    assert res.info["kmers_nb_distinct"] == ref.info["kmers_nb_distinct"]
+    assert (res.solid_kmers == ref.solid_kmers).all()
+    assert (res.solid_counts == ref.solid_counts).all()
+
+
+def test_superbatch_overflow_retry_exact():
+    """Absurd capacity hints force every overflow class (local table,
+    send window, accumulator); the transactional retry must converge and
+    stay exact."""
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from gatb_core_tpu.parallel.superbatch import (
+        count_kmers_distributed_superbatch)
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.model import count_kmers_py
+
+    rng = np.random.default_rng(17)
+    base = "".join(rng.choice(list("ACGT"), size=80))
+    seqs = [base] * 30 + ["".join(rng.choice(list("ACGT"), size=80))
+                          for _ in range(18)]
+    mesh = make_mesh(ndev)
+    res = count_kmers_distributed_superbatch(
+        BankStrings(*seqs), mesh, kmer_size=15, abundance_min=1,
+        batch_reads_per_device=4, capacity_factor=0.05,
+        distinct_ratio_hint=0.001)
+    exp = count_kmers_py(seqs, 15, abundance_min=1)
+    got = dict(zip(kmers_to_py(res.solid_kmers), res.solid_counts.tolist()))
+    assert got == exp
