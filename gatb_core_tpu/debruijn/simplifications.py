@@ -56,6 +56,15 @@ class Simplifications:
         self.k = graph.kmer_size
         self.verbose = verbose
         self.stats = SimplifyStats()
+        # per-op pass counters + removal report strings (the reference's
+        # _nbTipRemovalPasses/... members and tipRemoval/bubbleRemoval/
+        # ECRemoval "n + n + ..." strings, Simplifications.cpp:112-215)
+        self.nb_tip_passes = 0
+        self.nb_bulge_passes = 0
+        self.nb_ec_passes = 0
+        self.tip_removal = ""
+        self.bubble_removal = ""
+        self.ec_removal = ""
 
     # ------------------------------------------------------------------
     def _live(self):
@@ -96,19 +105,21 @@ class Simplifications:
         cand = one_dead & (short_topo | short_rctc)
 
         is_tip = cand & short_topo
-        # RCTC test for the rest
+        # RCTC test for the rest — vectorized over the candidate array
         rctc_cand = np.nonzero(cand & ~short_topo & short_rctc)[0]
-        for ui in rctc_cand:
-            connected_end = 2 * ui if deg_f[ui] > 0 else 2 * ui + 1
-            if self._satisfy_rctc(ug, connected_end,
-                                  float(ug.mean_abundance[ui]),
-                                  self.TIP_RCTC_CUTOFF):
-                is_tip[ui] = True
+        if len(rctc_cand):
+            ends = np.where(deg_f[rctc_cand] > 0, 2 * rctc_cand,
+                            2 * rctc_cand + 1)
+            ok = self._satisfy_rctc_batch(
+                ug, ends, ug.mean_abundance[rctc_cand].astype(np.float64),
+                self.TIP_RCTC_CUTOFF)
+            is_tip[rctc_cand[ok]] = True
 
         n_removed = int(is_tip.sum())
         if n_removed:
             self._delete_unitigs(ug, is_tip, us.node_unitig)
         self.stats.tips_removed += n_removed
+        self.nb_tip_passes += 1
         return n_removed
 
     def _compact(self, limbs, counts):
@@ -145,6 +156,63 @@ class Simplifications:
         ug = link_unitigs(limbs, us, self.k)
         self._live_index = np.nonzero(self._live())[0]
         return us, ug
+
+    def _satisfy_rctc_batch(self, ug: UnitigGraph, ends: np.ndarray,
+                            path_abundance: np.ndarray,
+                            cutoff: float) -> np.ndarray:
+        """Vectorized satisfyRCTC over an array of oriented ends
+        (satisfyRCTC, Simplifications.cpp:320-371; the neighbor-mean is
+        getMeanAbundanceOfNeighbors, :216-260). Same semantics as the
+        scalar `_satisfy_rctc` but evaluated for all queries at once via
+        CSR expansions — no per-candidate Python recursion."""
+        q = len(ends)
+        if q == 0:
+            return np.zeros(0, bool)
+        deg = np.diff(ug.link_offsets)
+        ab = np.asarray(ug.mean_abundance, np.float64)
+        path_u = ends >> 1                       # (Q,) unitig to exclude
+
+        # level 1: branching nodes b = out_links(end) for each query
+        bcnt = deg[ends]                          # (Q,)
+        nb_b = int(bcnt.sum())
+        ok = np.zeros(q, bool)
+        if nb_b == 0:
+            return ok
+        qidx = np.repeat(np.arange(q), bcnt)      # (B,) owner query
+        within = np.arange(nb_b) - np.repeat(
+            np.cumsum(bcnt) - bcnt, bcnt)
+        bflat = ug.link_targets[
+            np.repeat(ug.link_offsets[ends], bcnt) + within]  # (B,)
+
+        # level 2: neighbors of each b over both orientations (b, b^1)
+        src = np.concatenate([bflat, bflat ^ 1])  # (2B,)
+        parent = np.concatenate([np.arange(nb_b), np.arange(nb_b)])
+        ncnt = deg[src]
+        nb_t = int(ncnt.sum())
+        if nb_t:
+            within2 = np.arange(nb_t) - np.repeat(
+                np.cumsum(ncnt) - ncnt, ncnt)
+            tflat = ug.link_targets[
+                np.repeat(ug.link_offsets[src], ncnt) + within2]
+            tparent = np.repeat(parent, ncnt)     # (T,) owner b-entry
+            keep = (tflat >> 1) != path_u[qidx[tparent]]
+            sums = np.bincount(tparent[keep],
+                               weights=ab[tflat[keep] >> 1],
+                               minlength=nb_b)
+            cnts = np.bincount(tparent[keep], minlength=nb_b)
+        else:
+            sums = np.zeros(nb_b)
+            cnts = np.zeros(nb_b, np.int64)
+        # b's own abundance always contributes (scalar: nb.append(ab[b]))
+        sums += ab[bflat >> 1]
+        cnts = cnts + 1
+        mean_b = sums / cnts                      # (B,) per-branching mean
+
+        total = np.bincount(qidx, weights=mean_b, minlength=q)
+        mean_neighbors = np.divide(
+            total, bcnt, out=np.zeros(q), where=bcnt > 0)
+        ok = (bcnt > 0) & (mean_neighbors > cutoff * path_abundance)
+        return ok
 
     def _satisfy_rctc(self, ug: UnitigGraph, oriented_end: int,
                       path_abundance: float, cutoff: float) -> bool:
@@ -188,17 +256,21 @@ class Simplifications:
 
         cand = (deg_f >= 1) & (deg_r >= 1) & (lens <= max_ec)
         is_ec = np.zeros(ug.nb_unitigs, bool)
-        for ui in np.nonzero(cand)[0]:
-            ab = float(ug.mean_abundance[ui])
-            if self._satisfy_rctc(ug, 2 * ui, ab, self.EC_RCTC_CUTOFF) and \
-                    self._satisfy_rctc(ug, 2 * ui + 1, ab,
-                                       self.EC_RCTC_CUTOFF):
-                is_ec[ui] = True
+        cidx = np.nonzero(cand)[0]
+        if len(cidx):
+            # both oriented ends must satisfy RCTC — one batched eval
+            ab = ug.mean_abundance[cidx].astype(np.float64)
+            ok_f = self._satisfy_rctc_batch(ug, 2 * cidx, ab,
+                                            self.EC_RCTC_CUTOFF)
+            ok_r = self._satisfy_rctc_batch(ug, 2 * cidx + 1, ab,
+                                            self.EC_RCTC_CUTOFF)
+            is_ec[cidx[ok_f & ok_r]] = True
 
         n_removed = int(is_ec.sum())
         if n_removed:
             self._delete_unitigs(ug, is_ec, us.node_unitig)
         self.stats.ec_removed += n_removed
+        self.nb_ec_passes += 1
         return n_removed
 
     # ------------------------------------------------------------------
@@ -251,6 +323,7 @@ class Simplifications:
         if n_removed:
             self._delete_unitigs(ug, is_bulge, us.node_unitig)
         self.stats.bulges_removed += n_removed
+        self.nb_bulge_passes += 1
         return n_removed
 
     def _hmcp_unitigs(self, ug: UnitigGraph, start: int, target: int,
@@ -303,33 +376,78 @@ class Simplifications:
         return rec(start, maxlen, {start >> 1}, [], [])
 
     # ------------------------------------------------------------------
-    def simplify(self, max_passes: int = 20) -> SimplifyStats:
-        """Full orchestration (Simplifications::simplify,
-        Simplifications.cpp:112-215): tip rounds, bulge rounds, EC rounds,
-        then mixed rounds until quiescence."""
+    def simplify(self, do_tips: bool = True, do_bulges: bool = True,
+                 do_ec: bool = True) -> SimplifyStats:
+        """Full orchestration — the reference's exact pass schedule
+        (Simplifications::simplify, Simplifications.cpp:111-215):
+        tip rounds to quiescence, ONE bulge round, ONE EC round (bulge
+        removal gets much faster after EC), then bulge rounds, EC
+        rounds, then mixed rounds — with the reference's per-stage loop
+        conditions and the `n + n + ...` removal report strings."""
         nb_nodes = self.graph.nb_nodes
         cutoff_events = max(nb_nodes // 10000, 1)
 
-        def loop(fn):
-            passes = 0
-            prev = -1
-            while passes < max_passes:
-                removed = fn()
-                self.stats.passes += 1
-                passes += 1
-                if removed == 0 or (passes > 2 and removed < cutoff_events):
-                    break
-                prev = removed
-            return prev
+        def join(s, n):
+            return (s + " + " if s else s) + str(n)
 
-        loop(self.remove_tips)
-        loop(self.remove_bulges)
-        loop(self.remove_erroneous_connections)
-        # mixed rounds
-        for _ in range(max_passes):
-            total = (self.remove_tips() + self.remove_bulges()
-                     + self.remove_erroneous_connections())
-            self.stats.passes += 3
-            if total < cutoff_events:
-                break
+        tips = bubbles = ec = 0
+        if do_tips:
+            while True:
+                prev, tips = tips, self.remove_tips()
+                self.stats.passes += 1
+                self.tip_removal = join(self.tip_removal, tips)
+                if not (((prev == 0 and tips > 0)
+                         or (self.nb_tip_passes <= 2
+                             or tips >= cutoff_events))
+                        and self.nb_tip_passes < 20):
+                    break
+
+        # one bulge round then one EC round before looping each
+        if do_bulges:
+            bubbles = self.remove_bulges()
+            self.stats.passes += 1
+            self.bubble_removal = join(self.bubble_removal, bubbles)
+        if do_ec:
+            ec = self.remove_erroneous_connections()
+            self.stats.passes += 1
+            self.ec_removal = join(self.ec_removal, ec)
+
+        if do_bulges:
+            while True:
+                prev, bubbles = bubbles, self.remove_bulges()
+                self.stats.passes += 1
+                self.bubble_removal = join(self.bubble_removal, bubbles)
+                if not (((prev == 0 and bubbles > 0)
+                         or (self.nb_bulge_passes <= 2
+                             or bubbles >= cutoff_events))
+                        and self.nb_bulge_passes < 20):
+                    break
+
+        if do_ec:
+            while True:
+                prev, ec = ec, self.remove_erroneous_connections()
+                self.stats.passes += 1
+                self.ec_removal = join(self.ec_removal, ec)
+                if not (((prev == 0 and ec > 0)
+                         or (self.nb_ec_passes <= 2
+                             or ec >= cutoff_events))
+                        and self.nb_ec_passes < 20):
+                    break
+
+        # final mixed rounds (Simplifications.cpp:186-214)
+        if do_tips and do_bulges and do_ec:
+            ec = 0
+            while True:
+                tips = self.remove_tips()
+                bubbles = self.remove_bulges()
+                prev_ec, ec = ec, self.remove_erroneous_connections()
+                self.stats.passes += 3
+                self.tip_removal = join(self.tip_removal, tips)
+                self.bubble_removal = join(self.bubble_removal, bubbles)
+                self.ec_removal = join(self.ec_removal, ec)
+                if not (((prev_ec == 0 and ec > 0)
+                         or (ec >= cutoff_events or tips >= cutoff_events
+                             or bubbles >= cutoff_events))
+                        and self.nb_tip_passes < 30):
+                    break
         return self.stats

@@ -397,8 +397,14 @@ class SortingCount:
                 if builder.row:
                     yield emit(builder.flush())
 
-        tables: list = []  # (planes tuple, counts, n) distinct tables
-        t_merge_total = 0.0
+        # per-pass lists of (planes tuple, counts, n) distinct tables,
+        # rolling-merged so device memory stays bounded: <= _MAX_LIVE
+        # tables during a pass, ONE accumulated table per finished pass
+        # (the round-3 stress run proved end-deferred merging OOMs HBM
+        # at ~66 superbatch tables)
+        tables: dict[int, list] = {}
+        n_resolved = [0]
+        _MAX_LIVE = 3
         # adaptive distinct-ratio estimate: start from the caller's plan
         # hint, learn from each superbatch's measured n/rows so
         # low-coverage banks stop paying the overflow re-run
@@ -440,8 +446,12 @@ class SortingCount:
                 n = int(n)  # one scalar fetch per superbatch
                 dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
             cap = _next_pow2(max(n, 256))
-            tables.append((tuple(p[:cap] for p in out_p), counts[:cap], n,
-                           pass_i))
+            lst = tables.setdefault(pass_i, [])
+            lst.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
+            n_resolved[0] += 1
+            with ti.section("3.merge"):
+                while len(lst) > _MAX_LIVE:
+                    _merge_smallest_pair(lst)
             progress.inc(g_len)
 
         def flush_group(group, pass_i, first_pass):
@@ -482,7 +492,7 @@ class SortingCount:
             # resolve the FIRST superbatch immediately (learn the distinct
             # ratio before sizing the next); after that keep up to 2 in
             # flight so host parse + transfer overlap device compute
-            while len(pending) > (0 if len(tables) == 0 else 2):
+            while len(pending) > (0 if n_resolved[0] == 0 else 2):
                 resolve(pending.pop(0))
 
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
@@ -498,8 +508,14 @@ class SortingCount:
                     group = []
             if group:
                 flush_group(group, pass_i, first_pass)
-        while pending:
-            resolve(pending.pop(0))
+            # pass boundary: drain + fold this pass down to ONE device
+            # table so a multi-pass run never stacks passes' tables
+            while pending:
+                resolve(pending.pop(0))
+            with ti.section("3.merge"):
+                lst = tables.get(pass_i, [])
+                while len(lst) > 1:
+                    _merge_smallest_pair(lst)
 
         t_fill = time.time() - t0
         progress.finish()
@@ -512,8 +528,7 @@ class SortingCount:
         parts: list[tuple[int, np.ndarray, np.ndarray]] = []
         with ti.section("3.merge"):
             for p in range(nb_passes):
-                tp = [t[:3] for t in tables if t[3] == p]
-                uniq_p, counts_p = _merge_table_list(tp, w)
+                uniq_p, counts_p = _merge_table_list(tables.get(p, []), w)
                 parts.append((p, uniq_p, counts_p))
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))
@@ -603,6 +618,25 @@ class SortingCount:
             ti.entries.get("2.sort", 0.0) + t_merge, 3)
         return CountResult(solid_kmers, solid_counts, histogram, info,
                            cfg)
+
+
+def _merge_smallest_pair(lst) -> None:
+    """Merge the two smallest device tables of `lst` in place (one
+    bitonic merge level + reduce, ops/sortops.merge_tables_planes),
+    trimming the result to a pow2 capacity — the rolling-merge step that
+    bounds HBM during a pass."""
+    from ..ops.sortops import merge_tables_planes
+
+    lst.sort(key=lambda t: t[2])
+    (pa, ca, na), (pb, cb, nb) = lst[0], lst[1]
+    cap_out = _next_pow2(max(na + nb, 256))
+    planes, counts, n, _ = merge_tables_planes(
+        pa, jnp.asarray(ca), jnp.int32(na),
+        pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
+    n = int(n)
+    cap = _next_pow2(max(n, 256))
+    del lst[:2]
+    lst.append((tuple(p[:cap] for p in planes), counts[:cap], n))
 
 
 def _merge_table_list(tables, w: int):

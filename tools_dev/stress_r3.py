@@ -34,6 +34,9 @@ REF_BIN = os.path.join(os.path.dirname(os.path.dirname(
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "stress_r3_results.json")
 K, AMIN, MAXMEM = 31, 3, 1500
+# forces nb_passes=3 on our side: passes = (volume/4)/max_disk + 1
+# (ConfigurationAlgorithm.cpp:350 formula; volume ~5.5GB at 720M kmers)
+MAXDISK = 600
 
 
 def log(msg):
@@ -94,6 +97,7 @@ def run_ours():
     cmd = [sys.executable, "-m", "gatb_core_tpu.tools.dbgh5",
            "-in", FASTA, "-kmer-size", str(K),
            "-abundance-min", str(AMIN), "-max-memory", str(MAXMEM),
+           "-max-disk", str(MAXDISK),
            "-out", OURS_H5, "-bloom", "none", "-debloom", "none",
            "-branching-nodes", "none", "-mphf", "none", "-verbose", "1"]
     log("ours: " + " ".join(cmd))
