@@ -135,6 +135,27 @@ class NeighborBloom:
             out.append(ok)
         return out
 
+    def contains(self, item: int) -> bool:
+        """BloomNeighborCoherent::contains (Bloom.hpp:597-645) — single
+        kmer membership probe, used by the lossy qual smoother's solid-
+        coverage pass (DnaCoder.cpp:489 storeSolidCoverageInfo)."""
+        k = self.k
+        hashpart = (item >> 2) & self.maskkm2
+        rev = _revcomp(hashpart, k - 2)
+        if rev < hashpart:
+            hashpart = rev
+        racine = _hash64(hashpart, self.seeds[0]) % self.reduced
+        suffix = item & 3
+        prefix = (((item >> (2 * (k - 2))) & 12) + suffix) & 15
+        h0 = racine + CANO2[prefix]
+        if not self._bit(h0):
+            return False
+        for i in range(1, self.nb_hash):
+            if not self._bit(
+                    h0 + (_simplehash16(hashpart, i) & self.mask_block)):
+                return False
+        return True
+
 
 def _decode_numeric(dec: RangeDecoder, models: list[Order0Model]) -> int:
     """CompressionUtils::decodeNumeric (VBE, CompressionUtils.hpp:114)."""
@@ -683,11 +704,53 @@ class _HeaderEncoder:
         return enc.get_buffer()
 
 
+def _smooth_quals(read: str, qual: str, bloom: NeighborBloom,
+                  k: int) -> str:
+    """Lossy quality smoothing — the reference's default FASTQ mode
+    (DnaCoder.cpp:428-486 smoothQuals/apply_smoothing_at_pos plus
+    storeSolidCoverageInfo:489-517): a position covered by >= 2 solid
+    kmers, or any qual above '@' (truncation mode), is flattened to '@';
+    phred 0 and phred 2 are preserved verbatim, and a qual more than 10
+    below '@' is smoothed only when its solid coverage exceeds
+    (gap - 5). Reads shorter than k are untouched (smoothQuals guard)."""
+    L = len(read)
+    if L < k or not qual:
+        return qual
+    # N -> A substitution before the kmer sweep (DnaCoder.cpp:523-528)
+    codes = [NT2BIN.get(c, 0) if c != "N" else 0 for c in read]
+    nb_solids = [0] * L
+    mask = (1 << (2 * k)) - 1
+    kmer = 0
+    for i, c in enumerate(codes):
+        kmer = ((kmer << 2) | c) & mask
+        if i >= k - 1:
+            canon = min(kmer, _revcomp(kmer, k))
+            if bloom.contains(canon):
+                for j in range(i - k + 1, i + 1):
+                    nb_solids[j] += 1
+    out = list(qual)
+    at = ord("@")
+    for i in range(L):
+        ci = ord(out[i])
+        if nb_solids[i] >= 2 or ci > at:
+            phred = ci - 33
+            if phred == 0 or phred == 2:
+                continue
+            diff = at - ci
+            if diff > 10 and not nb_solids[i] > diff - 5:
+                continue
+            out[i] = "@"
+    return "".join(out)
+
+
 def leon_ref_compress(path_in: str, path_out: str, kmer_size: int = 31,
                       abundance_min=2,
-                      reads_per_block: int = READ_PER_BLOCK) -> dict:
+                      reads_per_block: int = READ_PER_BLOCK,
+                      lossless: bool = False) -> dict:
     """Compress a FASTA/FASTQ file into the reference .leon HDF5 container
-    (decodable by the reference leon binary)."""
+    (decodable by the reference leon binary). FASTQ qualities default to
+    the reference's lossy smoothing mode (Leon.cpp:409-412 — '-lossless'
+    opts out there and `lossless=True` does here)."""
     import h5py
     import numpy as np
 
@@ -731,9 +794,13 @@ def leon_ref_compress(path_in: str, path_out: str, kmer_size: int = 31,
         dna_sizes += [len(db), len(chunk)]
         hdr_sizes += [len(hb), len(chunk)]
         if is_fastq:
+            if lossless:
+                quals = (s.quality for s in chunk)
+            else:
+                quals = (_smooth_quals(s.data, s.quality, bloom, k)
+                         for s in chunk)
             qual_blocks.append(zlib.compress(
-                ("".join(s.quality + "\n" for s in chunk)).encode("ascii"),
-                9))
+                ("".join(q + "\n" for q in quals)).encode("ascii"), 9))
 
     def _attrs(ds, **kv):
         # ASCII vlen strings: the reference's vendored libhdf5 rejects

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("-gtbl", dest="gtbl", action="store_true",
                    help="compress to this engine's own GTBL1 container "
                         "instead of the reference .leon HDF5 format")
+    p.add_argument("-lossless", dest="lossless", action="store_true",
+                   help="lossless FASTQ qualities (default: the "
+                        "reference's lossy smoothing, Leon.cpp:409-412)")
     args = p.parse_args(argv)
 
     if args.compress == args.decompress:
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
 
             info = leon_ref_compress(args.file, out,
                                      kmer_size=args.kmer_size,
-                                     abundance_min=args.abundance)
+                                     abundance_min=args.abundance,
+                                     lossless=args.lossless)
             extra = f"dict {info['nb_anchors']} anchors, "
         in_size = os.path.getsize(args.file)
         ratio = in_size / max(info["compressed_bytes"], 1)

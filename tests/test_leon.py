@@ -165,7 +165,8 @@ def test_leon_ref_compress_roundtrip(tmp_path):
                         for x in rng.integers(0, 40, len(r)))
             f.write(f"@r{i} pos:{i * 3}\n{r}\n+\n{q}\n")
     out = str(tmp_path / "in.fastq.leon")
-    info = leon_ref_compress(src, out, kmer_size=21, abundance_min=1)
+    info = leon_ref_compress(src, out, kmer_size=21, abundance_min=1,
+                             lossless=True)
     assert info["nb_reads"] == len(reads)
 
     got = leon_ref_decompress(out).decode().splitlines()
@@ -183,3 +184,93 @@ def test_leon_ref_compress_roundtrip(tmp_path):
         assert dec[0::4] == orig[0::4]
         assert dec[1::4] == orig[1::4]
         assert dec[3::4] == orig[3::4]
+
+
+REF_LEON = "/root/repo/.ref_build/bin/Release/leon"
+
+
+def _make_coverage_fastq(path, n_reads=400, genome_len=4000, read_len=100,
+                         seed=5):
+    """Synthetic high-coverage FASTQ with a realistic qual mix: values
+    straddling '@' (phred 31), phred 0/2 sentinels, and deep-low quals —
+    every branch of the smoothing rule gets exercised."""
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=genome_len))
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            s = int(rng.integers(0, genome_len - read_len))
+            r = list(genome[s:s + read_len])
+            if i % 7 == 0:  # sprinkle Ns (qual untouched at phred 0/2)
+                r[int(rng.integers(0, read_len))] = "N"
+            q = rng.integers(33, 74, size=read_len)  # phred 0..40
+            q[rng.integers(0, read_len, 5)] = 33     # phred 0
+            q[rng.integers(0, read_len, 5)] = 35     # phred 2
+            qs = "".join(chr(int(c)) for c in q)
+            f.write(f"@r{i} x:{i}\n{''.join(r)}\n+\n{qs}\n")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_LEON),
+                    reason="reference leon binary not built (.ref_build)")
+def test_leon_lossy_qual_conformance(tmp_path):
+    """Our lossy qual smoothing must equal the reference binary's
+    (DnaCoder.cpp smoothQuals): run `leon -c` (lossy default) on a
+    high-coverage FASTQ, then reproduce its quality stream byte-for-byte
+    from the original quals + the bloom stored in ITS container."""
+    import subprocess
+    import zlib
+
+    import h5py
+
+    from gatb_core_tpu.compression.leon_ref import (NeighborBloom, _prop,
+                                                    _smooth_quals)
+
+    src = str(tmp_path / "cov.fastq")
+    _make_coverage_fastq(src)
+    subprocess.run([REF_LEON, "-c", "-file", "cov.fastq", "-verbose", "0"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    orig = open(src).read().splitlines()
+    reads, quals = orig[1::4], orig[3::4]
+    with h5py.File(src + ".leon", "r") as f:
+        k = int.from_bytes(f["metadata/kmerSize"][...].tobytes()[:4],
+                           "little")
+        bl = f["leon/bloom"]
+        bloom = NeighborBloom(bl[...].tobytes(), int(_prop(bl, "size")),
+                              int(_prop(bl, "nb_hash")), k)
+        names = sorted(f["leon/qual"], key=lambda s: int(s.split("_")[1]))
+        got = []
+        for name in names:
+            got += zlib.decompress(
+                f[f"leon/qual/{name}"][...].tobytes()).decode().splitlines()
+    exp = [_smooth_quals(r, q, bloom, k) for r, q in zip(reads, quals)]
+    assert got == exp
+    # smoothing actually changed something (not a vacuous pass)
+    assert exp != quals
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_LEON),
+                    reason="reference leon binary not built (.ref_build)")
+def test_leon_lossy_size_vs_reference(tmp_path):
+    """Compressed container size within 110% of the reference binary's on
+    the same high-coverage FASTQ, both in default lossy mode (VERDICT
+    round-2 item 8 acceptance)."""
+    import os
+    import subprocess
+
+    from gatb_core_tpu.compression.leon_ref import leon_ref_compress
+
+    src = str(tmp_path / "cov.fastq")
+    _make_coverage_fastq(src, n_reads=600)
+    subprocess.run([REF_LEON, "-c", "-file", "cov.fastq", "-verbose", "0"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    ref_size = os.path.getsize(src + ".leon")
+    ours = str(tmp_path / "ours.fastq.leon")
+    leon_ref_compress(src, ours, kmer_size=31, abundance_min=3)
+    our_size = os.path.getsize(ours)
+    assert our_size <= 1.10 * ref_size, (our_size, ref_size)
+    # and the reference binary can still decode our lossy container
+    subprocess.run([REF_LEON, "-d", "-file", "ours.fastq.leon",
+                    "-verbose", "0"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    dec = open(str(tmp_path / "ours.fastq.d")).read().splitlines()
+    orig = open(src).read().splitlines()
+    assert dec[1::4] == orig[1::4]  # DNA lossless; quals smoothed
