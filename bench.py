@@ -92,7 +92,7 @@ def main():
     # REPS chained runs inside one dispatch amortize the tunnel's per-call
     # round trip (~110 ms measured); each rep's input is salted by the
     # previous rep's checksum
-    REPS = int(os.environ.get("GATB_BENCH_REPS", 8))
+    REPS = int(os.environ.get("GATB_BENCH_REPS", 16))
 
     jlengths = jnp.full((B,), read_len, jnp.int32)
 
@@ -215,7 +215,10 @@ def run_e2e(reads):
     write_fasta(tmp.name, reads)
     cfg = CountConfig(kmer_size=31, abundance_min=3, batch_reads=4096,
                       batch_len=read_len,
-                      superbatch_rows=n_reads * (read_len - 30),
+                      # 4 superbatches: host->device uploads of the next
+                      # superbatch overlap device compute of the current
+                      # one (the 33 MB/s tunnel is the e2e bottleneck)
+                      superbatch_rows=n_reads * (read_len - 30) // 4,
                       # plan-style distinct estimate: ~1Mbp genome at 30x
                       distinct_ratio_hint=0.06)
     times = []

@@ -432,18 +432,24 @@ class SortingCount:
             at full capacity when tripped), stats, trim, ratio update."""
             out, rows, inputs, pass_i, first_pass, g_len = item
             with ti.section("2.sort"):
-                if bool(out[3]):  # overflow: rerun unbounded (always exact)
+                # ONE round trip for all of this superbatch's scalars
+                # (overflow flag, n, valid/inside counts) — the tunnel
+                # costs ~24 ms per fetch call
+                ov, n, nv, ni = jax.device_get(
+                    (out[3], out[2], out[4], out[5]))
+                if bool(ov):  # overflow: rerun unbounded (always exact)
                     codes, valid, lengths = inputs
                     out = _superbatch_count(
                         codes, valid, lengths, jnp.int32(pass_i),
                         k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
                         spare=spare, cap_out=None, packed=packed,
                         L=builder.L if packed else None)
-                out_p, counts, n, _, nv, ni = out
+                    n, nv, ni = jax.device_get((out[2], out[4], out[5]))
+                out_p, counts = out[0], out[1]
                 if first_pass:
-                    valid_scalars.append(nv)
-                    inside_scalars.append(ni)
-                n = int(n)  # one scalar fetch per superbatch
+                    valid_scalars.append(int(nv))
+                    inside_scalars.append(int(ni))
+                n = int(n)
                 dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
             cap = _next_pow2(max(n, 256))
             lst = tables.setdefault(pass_i, [])
@@ -657,11 +663,44 @@ def _merge_table_list(tables, w: int):
             pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
         tables = tables[2:] + [(planes, counts, int(n))]
     planes, counts, n = tables[0]
-    # slice ON DEVICE before fetching: the tunnel ships every fetched
-    # byte at 25-250 MB/s, so fetch exactly n rows, not the capacity
-    uniq = np.stack([np.asarray(p[:n]) for p in planes], axis=1) \
-        if n else np.zeros((0, w), np.uint32)
-    return uniq, np.asarray(counts[:n]).astype(np.int32)
+    return _fetch_table(planes, counts, n, w)
+
+
+@functools.partial(jax.jit, static_argnames=("max_exc",))
+def _pack_table_jit(planes, counts, n, max_exc=4096):
+    """Pack a distinct table for the host fetch (the tunnel ships fetched
+    bytes at ~33 MB/s, BASELINE.md): planes stacked into ONE (W, cap)
+    array, counts clamped to uint8, and the rare counts >= 255 as an
+    exception list — one round trip, 9/12 of the int32 bytes."""
+    cap = counts.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    valid = idx < n
+    c8 = jnp.where(valid, jnp.minimum(counts, 254), 0).astype(jnp.uint8)
+    is_exc = (counts >= 255) & valid
+    n_exc = jnp.sum(is_exc.astype(jnp.int32))
+    exc_pos = jnp.sort(jnp.where(is_exc, idx, jnp.int32(MAX_INT32)))
+    exc_pos = exc_pos[:max_exc]
+    exc_val = counts[jnp.minimum(exc_pos, cap - 1)]
+    return jnp.stack(planes), c8, n_exc, exc_pos, exc_val
+
+
+def _fetch_table(planes, counts, n, w):
+    """ONE host fetch of a device distinct table -> (kmers (n, W) uint32,
+    counts (n,) int32). Counts ride as uint8 + an exception list; if the
+    exception capacity overflows (pathological distribution) fall back to
+    the exact int32 fetch."""
+    if n == 0:
+        return np.zeros((0, w), np.uint32), np.zeros((0,), np.int32)
+    packed = _pack_table_jit(tuple(planes), counts, jnp.int32(n))
+    stacked, c8, n_exc, exc_pos, exc_val = jax.device_get(packed)
+    ne = int(n_exc)
+    if ne > exc_pos.shape[0]:
+        uniq = np.stack([np.asarray(p[:n]) for p in planes], axis=1)
+        return uniq, np.asarray(counts[:n]).astype(np.int32)
+    cnt = c8.astype(np.int32)
+    if ne:
+        cnt[exc_pos[:ne]] = exc_val[:ne]
+    return np.ascontiguousarray(stacked[:, :n].T), cnt[:n]
 
 
 def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):

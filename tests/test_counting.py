@@ -126,3 +126,20 @@ def test_multi_pass_counting_is_pass_invariant():
         assert r.info["kmers_nb_distinct"] == base.info["kmers_nb_distinct"]
         assert (r.solid_kmers == base.solid_kmers).all()
         assert (r.solid_counts == base.solid_counts).all()
+
+
+def test_high_abundance_counts_exact():
+    """Counts >= 255 must survive the packed uint8+exceptions table fetch
+    (counting._fetch_table) bit-exactly."""
+    rng = np.random.default_rng(13)
+    base = "".join(rng.choice(list("ACGT"), size=60))
+    seqs = [base] * 300 + random_seqs(rng, 10, 40, 80)
+    res = count_kmers(BankStrings(*seqs), kmer_size=21, abundance_min=1)
+    exp = count_kmers_py(seqs, 21)
+    got = dict(zip((tuple(r) for r in res.solid_kmers),
+                   (int(c) for c in res.solid_counts)))
+    assert len(got) == len(exp)
+    from gatb_core_tpu.ops.kmer_ops import py_to_limbs
+    for km, c in exp.items():
+        assert got[tuple(py_to_limbs([km], 21)[0])] == c
+    assert max(exp.values()) >= 255  # the exception path actually ran
