@@ -24,7 +24,9 @@ with tempfile.TemporaryDirectory() as tmp:
             f.write(f"@read{i} sample:{i}\n{r}\n+\n{'I' * len(r)}\n")
 
     out = os.path.join(tmp, "reads.fastq.leon")
-    info = leon_ref_compress(src, out, kmer_size=21, abundance_min=1)
+    # lossless=True: the default is the reference's lossy qual smoothing
+    info = leon_ref_compress(src, out, kmer_size=21, abundance_min=1,
+                             lossless=True)
     print(f"compressed {info['nb_reads']} reads, "
           f"{info['nb_anchors']} anchors, "
           f"{info['compressed_bytes']} payload bytes")

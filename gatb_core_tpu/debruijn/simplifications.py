@@ -105,17 +105,27 @@ class Simplifications:
         cand = one_dead & (short_topo | short_rctc)
 
         is_tip = cand & short_topo
-        # RCTC test for the rest — vectorized over the candidate array
+        # RCTC test for the rest — vectorized over the candidate array;
+        # the path abundance is the reference's simplePathMeanAbundance,
+        # i.e. the nk/(nk-1)-inflated chain mean (GraphUnitigs.cpp:1507)
         rctc_cand = np.nonzero(cand & ~short_topo & short_rctc)[0]
         if len(rctc_cand):
+            chain = self._chain_abundance(ug)
             ends = np.where(deg_f[rctc_cand] > 0, 2 * rctc_cand,
                             2 * rctc_cand + 1)
             ok = self._satisfy_rctc_batch(
-                ug, ends, ug.mean_abundance[rctc_cand].astype(np.float64),
-                self.TIP_RCTC_CUTOFF)
+                ug, ends, chain[rctc_cand], self.TIP_RCTC_CUTOFF)
             is_tip[rctc_cand[ok]] = True
 
         n_removed = int(is_tip.sum())
+        # the count the reference's pass loops SEE: its simplePathDelete
+        # marks a multi-kmer path's start unitig twice (the start node
+        # plus unitigLastNode from the nodesList), so every multi-kmer
+        # deletion reports containedAlreadyDeleted and only SINGLE-kMER
+        # tips increment nbTipsRemoved (GraphUnitigs.cpp:1612-1628;
+        # Simplifications.cpp:578-589)
+        nk = np.asarray(ug.kmer_counts)
+        self._visible_tips = int((is_tip & (nk == 1)).sum())
         if n_removed:
             self._delete_unitigs(ug, is_tip, us.node_unitig)
         self.stats.tips_removed += n_removed
@@ -157,22 +167,51 @@ class Simplifications:
         self._live_index = np.nonzero(self._live())[0]
         return us, ug
 
+    def _chain_abundance(self, ug: UnitigGraph) -> np.ndarray:
+        """(U,) simplePathMeanAbundance of each unitig entered at an
+        extremity, on a maximal unitig graph (GraphUnitigs.cpp:1507-1521):
+        the traversal's coverage sums mean*(nk) (the first kmer cannot be
+        excluded) but seqLength counts nk-1 extensions, so multi-kmer
+        unitigs report mean * nk/(nk-1); single-kmer unitigs hit the
+        isLast&&isFirst special case and report the plain mean."""
+        nk = np.asarray(ug.kmer_counts, np.float64)
+        ab = np.asarray(ug.mean_abundance, np.float64)
+        return np.where(nk > 1, ab * nk / np.maximum(nk - 1.0, 1.0), ab)
+
     def _satisfy_rctc_batch(self, ug: UnitigGraph, ends: np.ndarray,
                             path_abundance: np.ndarray,
                             cutoff: float) -> np.ndarray:
-        """Vectorized satisfyRCTC over an array of oriented ends
-        (satisfyRCTC, Simplifications.cpp:320-371; the neighbor-mean is
-        getMeanAbundanceOfNeighbors, :216-260). Same semantics as the
-        scalar `_satisfy_rctc` but evaluated for all queries at once via
-        CSR expansions — no per-candidate Python recursion."""
+        """Vectorized satisfyRCTC over an array of oriented path ends
+        (satisfyRCTC, Simplifications.cpp:325-372; the per-branching-node
+        mean is getMeanAbundanceOfNeighbors, :216-247), evaluated for all
+        queries at once via CSR expansions. Reference-exact semantics:
+
+        - branching nodes = the entry extremities reached by out_links(e)
+        - each branching entry f (into unitig v) contributes the mean of:
+            * v's own simple-path chain INTO v (the within-unitig edge at
+              the entry extremity; only exists when nk_v > 1), valued at
+              the inflated chain mean (`_chain_abundance`)
+            * each external edge AT that extremity: the backward links
+              out_links(f^1) — and, for single-kmer v (whose two
+              extremities coincide), also the forward links out_links(f)
+              — each valued at the target's chain mean, skipping the
+              edge back to the path itself (.to == nodeToExclude ⇔
+              target == e^1)
+        - a branching node with ZERO contributions divides by zero in the
+          reference (nan propagates through the outer mean) -> the whole
+          query is False
+        - RCTC satisfied iff mean over branching nodes
+          > cutoff * path_abundance (the caller passes the inflated
+          chain mean of the path, matching simplePathMeanAbundance)."""
         q = len(ends)
         if q == 0:
             return np.zeros(0, bool)
         deg = np.diff(ug.link_offsets)
-        ab = np.asarray(ug.mean_abundance, np.float64)
-        path_u = ends >> 1                       # (Q,) unitig to exclude
+        nk = np.asarray(ug.kmer_counts)
+        chain = self._chain_abundance(ug)
+        excl = ends ^ 1                      # (Q,) the edge back to the path
 
-        # level 1: branching nodes b = out_links(end) for each query
+        # level 1: branching entries f = out_links(end) for each query
         bcnt = deg[ends]                          # (Q,)
         nb_b = int(bcnt.sum())
         ok = np.zeros(q, bool)
@@ -184,9 +223,15 @@ class Simplifications:
         bflat = ug.link_targets[
             np.repeat(ug.link_offsets[ends], bcnt) + within]  # (B,)
 
-        # level 2: neighbors of each b over both orientations (b, b^1)
-        src = np.concatenate([bflat, bflat ^ 1])  # (2B,)
-        parent = np.concatenate([np.arange(nb_b), np.arange(nb_b)])
+        multi = nk[bflat >> 1] > 1                # (B,) has a within edge
+        sums = np.where(multi, chain[bflat >> 1], 0.0)
+        cnts = multi.astype(np.int64)
+
+        # level 2: external edges at the entry extremity — backward links
+        # always; forward links too when the unitig is single-kmer
+        single_idx = np.nonzero(~multi)[0]
+        src = np.concatenate([bflat ^ 1, bflat[single_idx]])
+        parent = np.concatenate([np.arange(nb_b), single_idx])
         ncnt = deg[src]
         nb_t = int(ncnt.sum())
         if nb_t:
@@ -194,46 +239,20 @@ class Simplifications:
                 np.cumsum(ncnt) - ncnt, ncnt)
             tflat = ug.link_targets[
                 np.repeat(ug.link_offsets[src], ncnt) + within2]
-            tparent = np.repeat(parent, ncnt)     # (T,) owner b-entry
-            keep = (tflat >> 1) != path_u[qidx[tparent]]
-            sums = np.bincount(tparent[keep],
-                               weights=ab[tflat[keep] >> 1],
-                               minlength=nb_b)
-            cnts = np.bincount(tparent[keep], minlength=nb_b)
-        else:
-            sums = np.zeros(nb_b)
-            cnts = np.zeros(nb_b, np.int64)
-        # b's own abundance always contributes (scalar: nb.append(ab[b]))
-        sums += ab[bflat >> 1]
-        cnts = cnts + 1
-        mean_b = sums / cnts                      # (B,) per-branching mean
+            tparent = np.repeat(parent, ncnt)     # (T,) owner f-entry
+            keep = tflat != excl[qidx[tparent]]
+            sums = sums + np.bincount(tparent[keep],
+                                      weights=chain[tflat[keep] >> 1],
+                                      minlength=nb_b)
+            cnts = cnts + np.bincount(tparent[keep], minlength=nb_b)
 
+        # nan semantics: any zero-contribution branching node sinks the
+        # whole query (0/0 -> nan -> nan mean -> comparison false)
+        has_zero = np.bincount(qidx[cnts == 0], minlength=q) > 0
+        mean_b = sums / np.maximum(cnts, 1)       # (B,) per-branching mean
         total = np.bincount(qidx, weights=mean_b, minlength=q)
-        mean_neighbors = np.divide(
-            total, bcnt, out=np.zeros(q), where=bcnt > 0)
-        ok = (bcnt > 0) & (mean_neighbors > cutoff * path_abundance)
-        return ok
-
-    def _satisfy_rctc(self, ug: UnitigGraph, oriented_end: int,
-                      path_abundance: float, cutoff: float) -> bool:
-        """RCTC: mean coverage of the neighbors-of-branching-nodes
-        > cutoff * path abundance (satisfyRCTC, Simplifications.cpp:320-371)."""
-        branching = ug.out_links(oriented_end)
-        if len(branching) == 0:
-            return False
-        total = 0.0
-        for b in branching:
-            # mean abundance of b's *other* neighbors (both directions),
-            # excluding the path unitig itself
-            nb = []
-            for s in (b, b ^ 1):
-                for t in ug.out_links(s):
-                    if (t >> 1) != (oriented_end >> 1):
-                        nb.append(ug.mean_abundance[t >> 1])
-            nb.append(ug.mean_abundance[b >> 1])
-            total += float(np.mean(nb)) if nb else 0.0
-        mean_neighbors = total / len(branching)
-        return mean_neighbors > cutoff * path_abundance
+        mean_neighbors = total / bcnt             # bcnt > 0 on this path
+        return (~has_zero) & (mean_neighbors > cutoff * path_abundance)
 
     # ------------------------------------------------------------------
     def remove_erroneous_connections(self) -> int:
@@ -248,23 +267,70 @@ class Simplifications:
         counts = self.graph.solid_counts[live]
         us, ug = self._compact(limbs, counts)
 
-        deg = ug.out_degree_oriented()
-        deg_f = deg[0::2]
-        deg_r = deg[1::2]
+        deg = np.asarray(ug.out_degree_oriented())
+        nk = np.asarray(ug.kmer_counts)
         lens = np.asarray(ug.unitig_lengths())
+        chain = self._chain_abundance(ug)
         max_ec = int(k * self.EC_LEN_KMULT)
+        U = ug.nb_unitigs
+        is_ec = np.zeros(U, bool)
 
-        cand = (deg_f >= 1) & (deg_r >= 1) & (lens <= max_ec)
-        is_ec = np.zeros(ug.nb_unitigs, bool)
-        cidx = np.nonzero(cand)[0]
-        if len(cidx):
-            # both oriented ends must satisfy RCTC — one batched eval
-            ab = ug.mean_abundance[cidx].astype(np.float64)
-            ok_f = self._satisfy_rctc_batch(ug, 2 * cidx, ab,
-                                            self.EC_RCTC_CUTOFF)
-            ok_r = self._satisfy_rctc_batch(ug, 2 * cidx + 1, ab,
-                                            self.EC_RCTC_CUTOFF)
-            is_ec[cidx[ok_f & ok_r]] = True
+        def first_link(p):
+            """out_links(p)[0] per oriented id (the reference's
+            outneighbors[0]; neighbor order is implementation-defined
+            there — ours is the lexsorted link order)."""
+            return np.asarray(ug.link_targets)[
+                np.asarray(ug.link_offsets)[p]]
+
+        # evaluate each orientation p of each unitig (the reference
+        # examines the path from a preceding branching node in each
+        # direction): pathLen = nk-1 must be > 0 (single-kmer paths are
+        # skipped — "we don't support edge removal"), k + pathLen <= 9k,
+        # a behind-node with out-branching toward the path, and the
+        # doubly-connected end check on the FIRST out-neighbor
+        for flip in (0, 1):
+            p_all = 2 * np.arange(U) + flip
+            u_all = np.arange(U)
+            base = (nk > 1) & (lens <= max_ec) & (deg[p_all] > 0) \
+                & (deg[p_all ^ 1] > 0)
+            cidx = np.nonzero(base)[0]
+            if not len(cidx):
+                continue
+            p = p_all[cidx]
+
+            # candidacy from behind: some e in out_links(p^1) with
+            # out-branching back toward the path (|out_links(e^1)| >= 2)
+            # and a non-dead other side (within edge when multi-kmer,
+            # else >= 1 external link) — Simplifications.cpp:1697-1704
+            bdeg = deg[p ^ 1]
+            nb_e = int(bdeg.sum())
+            qidx = np.repeat(np.arange(len(p)), bdeg)
+            within = np.arange(nb_e) - np.repeat(
+                np.cumsum(bdeg) - bdeg, bdeg)
+            e = np.asarray(ug.link_targets)[
+                np.repeat(np.asarray(ug.link_offsets)[p ^ 1], bdeg)
+                + within]
+            qual = (deg[e ^ 1] >= 2) & ((nk[e >> 1] > 1) | (deg[e] >= 1))
+            behind_ok = np.bincount(qidx[qual], minlength=len(p)) > 0
+
+            # doubly-connected end (Simplifications.cpp:1777-1780): the
+            # FIRST out-neighbor's entry extremity has > 1 incoming links
+            # and >= 1 outgoing (within edge counts when multi-kmer)
+            f0 = first_link(p)
+            dc = (deg[f0 ^ 1] > 1) & ((nk[f0 >> 1] > 1) | (deg[f0] >= 1))
+
+            sel = behind_ok & dc
+            sidx = np.nonzero(sel)[0]
+            if not len(sidx):
+                continue
+            ps = p[sidx]
+            ab = chain[ps >> 1]
+            # RCTC in EITHER direction removes the EC
+            # (Simplifications.cpp:1790-1793, the |= of both calls)
+            ok = self._satisfy_rctc_batch(ug, ps, ab, self.EC_RCTC_CUTOFF)
+            ok |= self._satisfy_rctc_batch(ug, ps ^ 1, ab,
+                                           self.EC_RCTC_CUTOFF)
+            is_ec[u_all[cidx[sidx[ok]]]] = True
 
         n_removed = int(is_ec.sum())
         if n_removed:
@@ -286,38 +352,58 @@ class Simplifications:
         counts = self.graph.solid_counts[live]
         us, ug = self._compact(limbs, counts)
 
-        deg = ug.out_degree_oriented()
+        deg = np.asarray(ug.out_degree_oriented())
+        nk = np.asarray(ug.kmer_counts)
         lens = np.asarray(ug.unitig_lengths(), np.int64)
+        chain = self._chain_abundance(ug)
+        link_t = np.asarray(ug.link_targets)
+        link_o = np.asarray(ug.link_offsets)
         max_bulge = max(int(k * self.BULGE_LEN_KMULT),
                         k + self.BULGE_LEN_KADD)
         backtrack = k + self.BULGE_ALTPATH_KADD
 
-        # candidate bulge: short (> k bases, <= maxBulgeLength) unitig,
-        # single in/out links; the reference additionally checks the end
-        # node is doubly connected (indegree > 1) — implied here by the
-        # alternative path reaching the same target
-        cand = (lens > k) & (lens <= max_bulge) \
-            & (deg[0::2] == 1) & (deg[1::2] == 1)
+        # The reference iterates BRANCHING NODES and, per (node,
+        # direction), walks that node's neighbor paths in order, deleting
+        # AT MOST ONE — it breaks out of the neighbor loop after the
+        # first deletion ("quite important to break here: don't try to
+        # remove the other neighbor", Simplifications.cpp:1552). We
+        # mirror that structure: each oriented extremity `a` with >= 2
+        # out-links plays (node, dir); its links are the neighbor paths
+        # (our lexsorted link order stands in for the reference's
+        # implementation-defined neighbor order). Deletions are batched
+        # (nodesDeleter flush-at-end), so marks don't affect decisions
+        # within the pass.
         is_bulge = np.zeros(ug.nb_unitigs, bool)
-        for ui in np.nonzero(cand)[0]:
-            # endpoints: pred (via reverse end) and succ (via forward end)
-            succ = ug.out_links(2 * ui)[0]
-            pred_rev = ug.out_links(2 * ui + 1)[0]
-            start = pred_rev ^ 1   # oriented unitig that enters ui forward
-            target = succ
-            # SPAdes maxlen: max(1.1*pathLen, pathLen+3) extensions
-            # (removeBulges, Simplifications.cpp:1474)
-            path_len = int(lens[ui]) - k  # nb extensions of the bulge path
-            maxlen = max(int(path_len * 1.1), path_len + 3)
-            alt_cov = self._hmcp_unitigs(ug, start, target, avoid=ui,
-                                         maxlen=maxlen,
-                                         backtrack_limit=backtrack)
-            # accept: bulge coverage <= alt coverage * 1.1
-            # (Simplifications.cpp:1525)
-            if alt_cov is not None and \
-                    float(ug.mean_abundance[ui]) \
-                    <= alt_cov * self.BULGE_ALTPATH_COVMULT:
-                is_bulge[ui] = True
+        for a in np.nonzero(deg >= 2)[0]:
+            a = int(a)
+            for t in link_t[link_o[a]:link_o[a + 1]]:
+                t = int(t)
+                ui = t >> 1
+                if t == (a ^ 1):              # node == neighbors[i].to
+                    continue
+                # pathLen = nk-1 must be > 0; short:
+                # k + pathLen <= maxBulgeLength (== base length)
+                if not (nk[ui] > 1 and lens[ui] <= max_bulge):
+                    continue
+                if deg[t] == 0:               # no outneighbors: skip
+                    continue
+                f0 = int(link_t[link_o[t]])   # first out-neighbor (the
+                # reference takes outneighbors[0]; order there is
+                # implementation-defined — ours is the lexsorted links)
+                if not deg[f0 ^ 1] > 1:       # isDoublyConnected
+                    continue
+                path_len = int(nk[ui]) - 1
+                maxlen = max(int(path_len * 1.1), path_len + 3)  # SPAdes
+                alt_cov = self._hmcp_unitigs(
+                    ug, a, f0, avoid=t, maxlen=maxlen,
+                    backtrack_limit=backtrack)
+                # accept: bulge chain coverage <= alt coverage * 1.1
+                # (Simplifications.cpp:1521-1525; both sides are
+                # simplePathMeanAbundance, i.e. inflated chain means)
+                if alt_cov is not None and \
+                        chain[ui] <= alt_cov * self.BULGE_ALTPATH_COVMULT:
+                    is_bulge[ui] = True
+                    break                     # one deletion per (node,dir)
 
         n_removed = int(is_bulge.sum())
         if n_removed:
@@ -330,50 +416,108 @@ class Simplifications:
                       avoid: int, maxlen: int, backtrack_limit: int):
         """Most-covered alternative path search, unitig flavor — the port
         of heuristic_most_covered_path_unitigs (Simplifications.cpp:
-        1034-1230): greedy descent in decreasing simple-path abundance
-        with bounded backtracking (nbCalls, a base budget), loop abort,
-        depth budget in extensions, and the length-weighted chain mean
-        (unitigs_chain2abundance, :665-680; single-kmer unitigs contribute
-        nothing, mirroring the pathLen > 0 guard at :1098).
-        Returns the mean coverage of the found path, or None."""
-        k = self.k
-        state = {"calls": 0, "failed": False}
+        1034-1230): greedy descent in decreasing simple-path (inflated
+        chain) abundance, loop abort per call, depth budget in
+        extensions, the nbCalls backtracking limit (HMCP_MAX_DEPTH), and
+        the length-weighted chain mean (unitigs_chain2abundance,
+        :665-680; single-kmer unitigs contribute nothing, the
+        pathLen > 0 guard at :1098).
 
-        ulens = np.asarray(ug.unitig_lengths())
+        `start` is the oriented id whose out_links are the branching
+        node's expansions (the reference's startNode, a last node —
+        pathLen 0, straight to expansion); `target` the oriented entry
+        to reach (endNode); `avoid` the bulge path's entry, skipped only
+        at the top expansion (avoidFirstNode). Returns the mean coverage
+        of the found path, or None (loops track unitig ids, a hair
+        coarser than the reference's extremity-node set)."""
+        chain = self._chain_abundance(ug)
+        nk = np.asarray(ug.kmer_counts)
+        deg = np.diff(ug.link_offsets)
+        state = {"calls": 0, "aborted": False}
 
-        def ulen(t):  # nb extensions of unitig t's simple path
-            return int(ulens[t >> 1]) - k
+        def wmean(lens_, covs_):
+            total = sum(lens_)
+            if total == 0:
+                return None  # 0/0 -> nan in the reference: never accepted
+            return sum(l * c for l, c in zip(lens_, covs_)) / total
 
-        def rec(node, budget, visited, lens_, covs_):
-            if budget < -1 or state["failed"]:
-                return None
-            nbrs = sorted(ug.out_links(node),
-                          key=lambda t: -float(ug.mean_abundance[t >> 1]))
-            for t in nbrs:
-                if (t >> 1) == avoid and node == start:
+        # visited tracks EXTREMITY identities as oriented ids (entry
+        # extremity of oriented t <-> id t; its exit <-> t ^ 1) — the
+        # same granularity as the reference's set<NodeGU> traversedNodes
+
+        def expand(cur, depth, extra, visited, lens_, covs_, avoid_first):
+            """Neighbor ordering + recursion at a branching/dead end
+            (Simplifications.cpp:1155-1227)."""
+            cand = []
+            for t in ug.out_links(cur):
+                t = int(t)
+                if avoid_first is not None and t == avoid_first:
                     continue
-                if t == target:
-                    total = sum(lens_)
-                    if total == 0:
-                        return None  # NaN mean in the reference: rejected
-                    return sum(l * c for l, c in zip(lens_, covs_)) / total
-                if (t >> 1) in visited:  # loop: abort the whole search
-                    state["failed"] = True
+                if t in visited:
+                    return None              # HMCP_LOOP aborts this call
+                cand.append(t)
+            # the reference orders by abundance TRUNCATED TO INT
+            # (vector<pair<int, Edge>>, Simplifications.cpp:1160-1190),
+            # ties then fall to EdgeGU::operator< on ITS unitig ids —
+            # unknowable here; ours break ties on the oriented id
+            cand.sort(key=lambda t: (-int(chain[t >> 1]), t))
+            for t in cand:
+                got = rec(t, depth - extra, visited | {t}, lens_, covs_)
+                if backtrack_limit > 0 and \
+                        state["calls"] >= backtrack_limit:
+                    # HMCP_MAX_DEPTH: checked BEFORE the found-end check
+                    # (Simplifications.cpp:1216-1226) — a path found while
+                    # blowing the budget is DISCARDED by the reference
+                    state["aborted"] = True
                     return None
-                tl = ulen(t)
-                state["calls"] += tl + 1
-                nl = lens_ + [tl] if tl > 0 else lens_
-                nc = covs_ + [float(ug.mean_abundance[t >> 1])] \
-                    if tl > 0 else covs_
-                got = rec(t, budget - (tl + 1), visited | {t >> 1}, nl, nc)
-                if state["calls"] >= backtrack_limit:  # HMCP_MAX_DEPTH
-                    state["failed"] = True
-                    return got
-                if got is not None or state["failed"]:
+                if state["aborted"] or got is not None:
                     return got
             return None
 
-        return rec(start, maxlen, {start >> 1}, [], [])
+        def rec(entry, depth, visited, lens_, covs_):
+            """One level: `entry` was just entered at its head extremity
+            (the reference's recursive call on edge.to)."""
+            if depth < -1:
+                return None                  # HMCP_DIDNT_FIND_END
+            if entry == target:
+                return wmean(lens_, covs_)   # current_node == endNode
+            extra = 1
+            cur = entry
+            while True:
+                tl = int(nk[cur >> 1]) - 1
+                if tl > 0:                   # traverse own simple path
+                    lens_ = lens_ + [tl]
+                    # unitigs_abundances is vector<int> in the reference
+                    # (Simplifications.hpp:107): the chain mean is
+                    # TRUNCATED to int before entering chain2abundance
+                    covs_ = covs_ + [float(int(chain[cur >> 1]))]
+                    state["calls"] += tl + 1
+                    extra += tl + 1
+                    if (cur ^ 1) == target:  # processNode(lastNode)
+                        return wmean(lens_, covs_)
+                    if (cur ^ 1) in visited:
+                        return None          # HMCP_LOOP
+                    visited = visited | {cur ^ 1}
+                if deg[cur] != 1:
+                    break                    # dead end or out-branching
+                nxt = int(ug.out_links(cur)[0])
+                if deg[nxt ^ 1] <= 1:        # self-linked kmer oddity
+                    return None              # (GraphUnitigs loop guard)
+                state["calls"] += 1
+                extra += 1
+                if nxt == target:            # processNode(next)
+                    return wmean(lens_, covs_)
+                if nxt in visited:
+                    return None              # HMCP_LOOP
+                visited = visited | {nxt}
+                cur = nxt
+            return expand(cur, depth, extra, visited, lens_, covs_, None)
+
+        # top level: start is a LAST node (pathLen 0) at a branching
+        # extremity — straight to the avoidFirstNode-aware expansion
+        if start == target:
+            return None                      # empty chain -> nan
+        return expand(start, maxlen, 1, {start}, [], [], avoid)
 
     # ------------------------------------------------------------------
     def simplify(self, do_tips: bool = True, do_bulges: bool = True,
@@ -383,17 +527,32 @@ class Simplifications:
         tip rounds to quiescence, ONE bulge round, ONE EC round (bulge
         removal gets much faster after EC), then bulge rounds, EC
         rounds, then mixed rounds — with the reference's per-stage loop
-        conditions and the `n + n + ...` removal report strings."""
-        nb_nodes = self.graph.nb_nodes
-        cutoff_events = max(nb_nodes // 10000, 1)
+        conditions and the `n + n + ...` removal report strings.
+
+        The loop counters replicate what the reference's passes actually
+        SEE, not the true removal counts: GraphUnitigs::simplePathDelete
+        double-marks every multi-kmer path (GraphUnitigs.cpp:1612-1628),
+        so nbTipsRemoved counts only single-kmer tips and
+        nbBulgesRemoved/nbECRemoved are always 0 (every bulge/EC path
+        has pathLen > 0) — making the bulge and EC loops run exactly 3
+        passes each. cutoffEvents divides the reference's node count,
+        which for GraphUnitigs is the number of unitig EXTREMITIES."""
+        live = self._live()
+        _, ug0 = self._compact(self.graph.solid_limbs[live],
+                               self.graph.solid_counts[live])
+        nk0 = np.asarray(ug0.kmer_counts)
+        nb_extremities = int(2 * ug0.nb_unitigs - (nk0 == 1).sum())
+        cutoff_events = max(nb_extremities // 10000, 1)
 
         def join(s, n):
             return (s + " + " if s else s) + str(n)
 
-        tips = bubbles = ec = 0
+        tips = bubbles = ec = 0   # reference-visible counters
         if do_tips:
             while True:
-                prev, tips = tips, self.remove_tips()
+                prev = tips
+                self.remove_tips()
+                tips = self._visible_tips
                 self.stats.passes += 1
                 self.tip_removal = join(self.tip_removal, tips)
                 if not (((prev == 0 and tips > 0)
@@ -404,50 +563,46 @@ class Simplifications:
 
         # one bulge round then one EC round before looping each
         if do_bulges:
-            bubbles = self.remove_bulges()
+            self.remove_bulges()
             self.stats.passes += 1
-            self.bubble_removal = join(self.bubble_removal, bubbles)
+            self.bubble_removal = join(self.bubble_removal, 0)
         if do_ec:
-            ec = self.remove_erroneous_connections()
+            self.remove_erroneous_connections()
             self.stats.passes += 1
-            self.ec_removal = join(self.ec_removal, ec)
+            self.ec_removal = join(self.ec_removal, 0)
 
         if do_bulges:
-            while True:
-                prev, bubbles = bubbles, self.remove_bulges()
+            while True:  # visible count 0: runs until nb passes > 2
+                self.remove_bulges()
                 self.stats.passes += 1
-                self.bubble_removal = join(self.bubble_removal, bubbles)
-                if not (((prev == 0 and bubbles > 0)
-                         or (self.nb_bulge_passes <= 2
-                             or bubbles >= cutoff_events))
+                self.bubble_removal = join(self.bubble_removal, 0)
+                if not (self.nb_bulge_passes <= 2
                         and self.nb_bulge_passes < 20):
                     break
 
         if do_ec:
             while True:
-                prev, ec = ec, self.remove_erroneous_connections()
+                self.remove_erroneous_connections()
                 self.stats.passes += 1
-                self.ec_removal = join(self.ec_removal, ec)
-                if not (((prev == 0 and ec > 0)
-                         or (self.nb_ec_passes <= 2
-                             or ec >= cutoff_events))
+                self.ec_removal = join(self.ec_removal, 0)
+                if not (self.nb_ec_passes <= 2
                         and self.nb_ec_passes < 20):
                     break
 
-        # final mixed rounds (Simplifications.cpp:186-214)
+        # final mixed rounds (Simplifications.cpp:186-214): with the
+        # visible bulge/EC counters pinned to 0, the loop continues only
+        # while a pass removes >= cutoffEvents single-kmer tips
         if do_tips and do_bulges and do_ec:
-            ec = 0
             while True:
-                tips = self.remove_tips()
-                bubbles = self.remove_bulges()
-                prev_ec, ec = ec, self.remove_erroneous_connections()
+                self.remove_tips()
+                tips = self._visible_tips
+                self.remove_bulges()
+                self.remove_erroneous_connections()
                 self.stats.passes += 3
                 self.tip_removal = join(self.tip_removal, tips)
-                self.bubble_removal = join(self.bubble_removal, bubbles)
-                self.ec_removal = join(self.ec_removal, ec)
-                if not (((prev_ec == 0 and ec > 0)
-                         or (ec >= cutoff_events or tips >= cutoff_events
-                             or bubbles >= cutoff_events))
+                self.bubble_removal = join(self.bubble_removal, 0)
+                self.ec_removal = join(self.ec_removal, 0)
+                if not (tips >= cutoff_events
                         and self.nb_tip_passes < 30):
                     break
         return self.stats

@@ -18,8 +18,10 @@
 
 #include <gatb/gatb_core.hpp>
 #include <gatb/debruijn/impl/GraphUnitigs.hpp>
+#include <gatb/debruijn/impl/Simplifications.hpp>
 
 #include <cstdio>
+#include <cstring>
 #include <set>
 #include <string>
 
@@ -29,13 +31,13 @@ int main(int argc, char* argv[]) {
     if (argc < 4) {
         fprintf(stderr,
                 "usage: %s <fasta> <kmer-size> <abundance-min> "
-                "[simplify=1]\n", argv[0]);
+                "[ops=all|tips|bulges|ec|none]\n", argv[0]);
         return 2;
     }
     const char* input = argv[1];
     int k = atoi(argv[2]);
     int amin = atoi(argv[3]);
-    int do_simplify = (argc > 4) ? atoi(argv[4]) : 1;
+    const char* ops = (argc > 4) ? argv[4] : "all";
 
     try {
         GraphUnitigsTemplate<32> graph = GraphUnitigsTemplate<32>::create(
@@ -43,7 +45,16 @@ int main(int argc, char* argv[]) {
             "-nb-cores 1 -out %s.h5",
             input, k, amin, input);
 
-        if (do_simplify) graph.simplify(1, false);
+        if (strcmp(ops, "none") != 0) {
+            Simplifications<GraphUnitigsTemplate<32>, NodeGU, EdgeGU>
+                simp(&graph, 1, 1);
+            if (strcmp(ops, "all") != 0) {
+                simp._doTipRemoval = strcmp(ops, "tips") == 0;
+                simp._doBulgeRemoval = strcmp(ops, "bulges") == 0;
+                simp._doECRemoval = strcmp(ops, "ec") == 0;
+            }
+            simp.simplify();
+        }
 
         std::set<unsigned int> seen;
         GraphIterator<NodeGU> it = graph.iterator();
