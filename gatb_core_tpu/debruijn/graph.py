@@ -114,7 +114,12 @@ class Graph:
                           nb_passes=nb_passes)
         if superbatch_rows is not None:
             cfg.superbatch_rows = superbatch_rows
-        result = SortingCount(cfg).execute(bank)
+        # Algorithm contract: run() wraps execute() with exec_time + the
+        # stopwatch tree (executeAlgorithm, Graph.cpp:242-262)
+        dsk = SortingCount(cfg)
+        result = dsk.run(bank)
+        result.info.update({k: v for k, v in dsk.get_info().items()
+                            if k == "exec_time"})
 
         storage = None
         if output is not None:

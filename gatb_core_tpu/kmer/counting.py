@@ -323,8 +323,14 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
     return out_p, counts, n, overflow, n_valid, n_inside
 
 
-class SortingCount:
-    """Driver for the counting pipeline (SortingCountAlgorithm equivalent).
+from ..misc.algorithm import Algorithm
+
+
+class SortingCount(Algorithm):
+    """Driver for the counting pipeline (SortingCountAlgorithm equivalent),
+    on the Algorithm execute()/run()/get_info() contract
+    (Algorithm.hpp:8-120 — `run(bank)` stamps exec_time + the stopwatch
+    tree into get_info(), the executeAlgorithm wrapper pattern).
 
     ``processor`` plugs a custom CountProcessor (kmer/count_processor.py,
     the ICountProcessor.hpp:92-200 extension point) into the run: it
@@ -333,6 +339,7 @@ class SortingCount:
     SortingCountAlgorithm(..., processor) constructor parameter."""
 
     def __init__(self, config: CountConfig | None = None, processor=None):
+        super().__init__("dsk")
         self.config = config or CountConfig()
         self.processor = processor
 
@@ -451,9 +458,10 @@ class SortingCount:
                     inside_scalars.append(int(ni))
                 n = int(n)
                 dedup_ratio["est"] = max(dedup_ratio["est"], n / rows)
-            cap = _next_pow2(max(n, 256))
             lst = tables.setdefault(pass_i, [])
-            lst.append((tuple(p[:cap] for p in out_p), counts[:cap], n))
+            # no eager trim (each out-of-jit slice is a dispatched device
+            # op): rows past n are sentinel, merges mask them; ub = n
+            lst.append((out_p, counts, n, n))
             n_resolved[0] += 1
             with ti.section("3.merge"):
                 while len(lst) > _MAX_LIVE:
@@ -622,66 +630,72 @@ class SortingCount:
             t_fill - ti.entries.get("2.sort", 0.0), 3)
         info["time.fill_solid_kmers"] = round(
             ti.entries.get("2.sort", 0.0) + t_merge, 3)
+        self.info.update(info)  # Algorithm.get_info() surface
         return CountResult(solid_kmers, solid_counts, histogram, info,
                            cfg)
 
 
 def _merge_smallest_pair(lst) -> None:
     """Merge the two smallest device tables of `lst` in place (one
-    bitonic merge level + reduce, ops/sortops.merge_tables_planes),
-    trimming the result to a pow2 capacity — the rolling-merge step that
-    bounds HBM during a pass."""
+    bitonic merge level + reduce, ops/sortops.merge_tables_planes) —
+    the rolling-merge step that bounds HBM during a pass.
+
+    Entries are (planes, counts, n, ub): n may be a DEVICE scalar (no
+    host sync on the merge path — each int(n) fetch costs a ~24 ms
+    tunnel round trip); ub is a host-known upper bound that sizes merge
+    capacities (<= 2x the exact size, so HBM stays bounded). Rows past n
+    are all-ones sentinels (the compaction pads with them), so chained
+    merges mask them without trimming."""
     from ..ops.sortops import merge_tables_planes
 
-    lst.sort(key=lambda t: t[2])
-    (pa, ca, na), (pb, cb, nb) = lst[0], lst[1]
-    cap_out = _next_pow2(max(na + nb, 256))
+    lst.sort(key=lambda t: t[3])
+    (pa, ca, na, ua), (pb, cb, nb, ub) = lst[0], lst[1]
+    cap_out = _next_pow2(max(ua + ub, 256))
     planes, counts, n, _ = merge_tables_planes(
-        pa, jnp.asarray(ca), jnp.int32(na),
-        pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
-    n = int(n)
-    cap = _next_pow2(max(n, 256))
+        pa, jnp.asarray(ca), _as_i32(na),
+        pb, jnp.asarray(cb), _as_i32(nb), cap_out=cap_out)
     del lst[:2]
-    lst.append((tuple(p[:cap] for p in planes), counts[:cap], n))
+    lst.append((planes, counts, n, ua + ub))
+
+
+def _as_i32(n):
+    return jnp.int32(n) if isinstance(n, int) else n
 
 
 def _merge_table_list(tables, w: int):
-    """Merge a list of (planes, counts, n) distinct tables into final
-    host (kmers (N, W), counts (N,)) arrays — smallest pair first so merge
-    capacities stay near the live sizes."""
-    from ..ops.sortops import merge_tables_planes
-
-    tables = [t for t in tables if t[2] > 0]
+    """Merge a list of (planes, counts, n, ub) distinct tables into final
+    host (kmers (N, W), counts (N,)) arrays — sync-free merges (device n
+    scalars, ub-sized capacities), ONE n fetch, one packed table fetch."""
+    tables = [t for t in tables if t[3] > 0]
     if not tables:
         return np.zeros((0, w), np.uint32), np.zeros((0,), np.int32)
     while len(tables) > 1:
-        tables.sort(key=lambda t: t[2])
-        (pa, ca, na), (pb, cb, nb) = tables[0], tables[1]
-        cap_out = _next_pow2(max(na + nb, 256))
-        planes, counts, n, _ = merge_tables_planes(
-            pa, jnp.asarray(ca), jnp.int32(na),
-            pb, jnp.asarray(cb), jnp.int32(nb), cap_out=cap_out)
-        tables = tables[2:] + [(planes, counts, int(n))]
-    planes, counts, n = tables[0]
-    return _fetch_table(planes, counts, n, w)
+        _merge_smallest_pair(tables)
+    planes, counts, n, _ = tables[0]
+    return _fetch_table(planes, counts, int(n), w)
 
 
-@functools.partial(jax.jit, static_argnames=("max_exc",))
-def _pack_table_jit(planes, counts, n, max_exc=4096):
+@functools.partial(jax.jit, static_argnames=("cap_out", "max_exc"))
+def _pack_table_jit(planes, counts, n, cap_out=None, max_exc=4096):
     """Pack a distinct table for the host fetch (the tunnel ships fetched
-    bytes at ~33 MB/s, BASELINE.md): planes stacked into ONE (W, cap)
-    array, counts clamped to uint8, and the rare counts >= 255 as an
-    exception list — one round trip, 9/12 of the int32 bytes."""
+    bytes at ~33 MB/s, BASELINE.md): planes stacked into ONE (W, cap_out)
+    array (in-jit trim — capacities can exceed pow2(n) on the sync-free
+    merge path), counts clamped to uint8, and the rare counts >= 255 as
+    an exception list — one round trip, 9/12 of the int32 bytes."""
     cap = counts.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    if cap_out is None or cap_out > cap:
+        cap_out = cap
+    idx = jax.lax.broadcasted_iota(jnp.int32, (cap_out,), 0)
+    counts = counts[:cap_out]
     valid = idx < n
     c8 = jnp.where(valid, jnp.minimum(counts, 254), 0).astype(jnp.uint8)
     is_exc = (counts >= 255) & valid
     n_exc = jnp.sum(is_exc.astype(jnp.int32))
     exc_pos = jnp.sort(jnp.where(is_exc, idx, jnp.int32(MAX_INT32)))
     exc_pos = exc_pos[:max_exc]
-    exc_val = counts[jnp.minimum(exc_pos, cap - 1)]
-    return jnp.stack(planes), c8, n_exc, exc_pos, exc_val
+    exc_val = counts[jnp.minimum(exc_pos, cap_out - 1)]
+    return (jnp.stack([p[:cap_out] for p in planes]), c8, n_exc,
+            exc_pos, exc_val)
 
 
 def _fetch_table(planes, counts, n, w):
@@ -691,7 +705,8 @@ def _fetch_table(planes, counts, n, w):
     the exact int32 fetch."""
     if n == 0:
         return np.zeros((0, w), np.uint32), np.zeros((0,), np.int32)
-    packed = _pack_table_jit(tuple(planes), counts, jnp.int32(n))
+    packed = _pack_table_jit(tuple(planes), counts, jnp.int32(n),
+                             cap_out=_next_pow2(max(n, 256)))
     stacked, c8, n_exc, exc_pos, exc_val = jax.device_get(packed)
     ne = int(n_exc)
     if ne > exc_pos.shape[0]:

@@ -24,15 +24,15 @@ class Algorithm:
         self.info: dict = {"name": name}
         self.time_info = TimeInfo()
 
-    def execute(self):  # pragma: no cover - abstract
+    def execute(self, *args, **kw):  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def run(self):
+    def run(self, *args, **kw):
         """executeAlgorithm wrapper (Graph.cpp:242-262): times execute()
         and merges the stopwatch tree into the output info."""
         t0 = time.time()
         with self.time_info.section("execute"):
-            result = self.execute()
+            result = self.execute(*args, **kw)
         self.info["exec_time"] = round(time.time() - t0, 3)
         self.info.update(self.time_info.get_properties("time"))
         return result

@@ -120,6 +120,7 @@ class TestLeonBank:
         env.pop("PALLAS_AXON_POOL_IPS", None)
         r = subprocess.run(
             [sys.executable, "-m", "gatb_core_tpu.tools.leon", "-c",
+             "-lossless",  # default is the reference's lossy qual mode
              "-file", src, "-kmer-size", "21", "-abundance", "1",
              "-out", out], capture_output=True, text=True, env=env,
             timeout=300)
