@@ -460,6 +460,24 @@ class Graph:
         self.info["postsolid_time.simplify"] = round(_t.time() - t0, 3)
         return stats
 
+    def contigs(self, min_contig_len: int | None = None):
+        """Batched contig construction — the scalable equivalent of
+        looping SimplePathsTraversal over all unmarked nodes with a
+        Terminator (the Minia assembly loop over gatb-core's Traversal,
+        Traversal.cpp:68-160): every maximal simple path of the LIVE
+        graph, as one compaction over unitigs instead of per-kmer Python
+        walks. Run `simplify()` first for cleaned contigs.
+
+        Returns (sequences, mean_abundances). min_contig_len defaults to
+        2k+1, Minia's default contig length filter."""
+        if min_contig_len is None:
+            min_contig_len = 2 * self._k + 1
+        ug = self.unitig_graph()
+        lens = np.asarray(ug.unitig_lengths())
+        keep = lens >= min_contig_len
+        seqs = [s for s, k_ in zip(ug.sequences, keep) if k_]
+        return seqs, np.asarray(ug.mean_abundance)[keep]
+
     def unitig_graph(self):
         """Compact the (live) graph into unitigs with links
         (GraphUnitigs / UnitigsConstructionAlgorithm equivalent)."""

@@ -452,6 +452,13 @@ class SortingCount(Algorithm):
                         spare=spare, cap_out=None, packed=packed,
                         L=builder.L if packed else None)
                     n, nv, ni = jax.device_get((out[2], out[4], out[5]))
+                    # the unbounded table's capacity is the raw row count
+                    # (non-pow2); merges need pow2 capacities + sentinel
+                    # tails, so pad this rare path up to the next pow2
+                    from ..ops.sortops import pad_planes_pow2
+
+                    pp, pc, _ = pad_planes_pow2(out[0], out[1])
+                    out = (pp, pc) + tuple(out[2:])
                 out_p, counts = out[0], out[1]
                 if first_pass:
                     valid_scalars.append(int(nv))

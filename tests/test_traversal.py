@@ -92,3 +92,53 @@ def test_traversal_marks_prevent_duplicates():
         ks = set(count_kmers_py([c], k))
         assert not (ks & seen)
         seen |= ks
+
+
+def test_contigs_batched_equals_traversal():
+    """Graph.contigs (batched, per-unitig) equals the per-node
+    SimplePathsTraversal contig loop on a branching motif: same maximal
+    simple-path sequences (canonical), same count."""
+    import numpy as np
+
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.debruijn.graph import Graph
+    from gatb_core_tpu.debruijn.traversal import (
+        NodeGraphView, SimplePathsTraversal, Terminator, NUCLEOTIDES)
+
+    rng = np.random.default_rng(17)
+    a = "".join(rng.choice(list("ACGT"), size=60))
+    b = "".join(rng.choice(list("ACGT"), size=45))
+    c = "".join(rng.choice(list("ACGT"), size=45))
+    k = 15
+    # fork: a -> {b, c} (branching at a's tail)
+    seqs = [a + b, a + c]
+    g = Graph.create(BankStrings(*seqs), kmer_size=k, abundance_min=1,
+                     build_branching=False, mphf_kind="none",
+                     debloom_kind="none", repartition=False)
+
+    contigs, _ = g.contigs(min_contig_len=k)
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def canon(s):
+        return min(s, s[::-1].translate(comp))
+
+    batched = sorted(canon(s) for s in contigs)
+
+    # per-node traversal loop (the reference's assembly pattern):
+    # start at every unmarked node, extend both ways, mark as we go
+    view = NodeGraphView(g)
+    term = Terminator(view)
+    walked = []
+    for idx in range(g.nb_nodes):
+        if term.is_marked(2 * idx) or term.is_marked(2 * idx + 1):
+            continue
+        term.mark(2 * idx)
+        trav = SimplePathsTraversal(view, term)
+        fwd, _ = trav.traverse(2 * idx)
+        rev, _ = trav.traverse(2 * idx + 1)
+        start = view.node_string(2 * idx)
+        right = "".join(NUCLEOTIDES[nt] for nt in fwd)
+        left = "".join(NUCLEOTIDES[nt] for nt in rev)
+        comp_l = left[::-1].translate(comp)
+        walked.append(canon(comp_l + start + right))
+    assert sorted(set(walked)) == batched
