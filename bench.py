@@ -92,7 +92,7 @@ def main():
     # REPS chained runs inside one dispatch amortize the tunnel's per-call
     # round trip (~110 ms measured); each rep's input is salted by the
     # previous rep's checksum
-    REPS = int(os.environ.get("GATB_BENCH_REPS", 16))
+    REPS = int(os.environ.get("GATB_BENCH_REPS", 32))
 
     jlengths = jnp.full((B,), read_len, jnp.int32)
 

@@ -169,3 +169,34 @@ def test_simplify_reads1_full_near_exact(test_db, tmp_path):
     assert abs(len(ours) - len(ref)) <= 20
     assert len(ours - ref) < 0.01 * len(ref)
     assert len(ref - ours) < 0.01 * len(ref)
+
+
+@pytest.mark.skipif(not os.environ.get("GATB_TPU_SLOW_TESTS"),
+                    reason="slow: 600k solid kmers (set GATB_TPU_SLOW_TESTS=1)")
+def test_simplify_reads3_scale(test_db):
+    """Real-read scale (reads3: 601,710 solid kmers at k=21 a=2, 15,908
+    unitigs): full simplify schedule within 0.5% of the reference
+    library's surviving kmer set, both directions (measured 2026-08-20:
+    ours 548,294 vs ref 548,968 survivors; diff 1081/1755 — equal-
+    coverage tie order and the reference's cached-non-simple-node
+    iteration in later passes are not reproducible bit-for-bit).
+    Wall-clock target: minutes (measured 505 s on the 2-core host)."""
+    fasta = _gunzip(test_db)
+    ref = _kmer_set(_ref_surviving(fasta, 21, 2, "all"), 21)
+    ours = _our_surviving(fasta, 21, 2)
+    assert len(ours - ref) < 0.005 * len(ref)
+    assert len(ref - ours) < 0.005 * len(ref)
+    assert abs(len(ours) - len(ref)) < 0.005 * len(ref)
+
+
+def _gunzip(test_db):
+    import gzip
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "gatb_reads3.fa")
+    if not os.path.exists(out):
+        with gzip.open(f"{test_db}/reads3.fa.gz", "rb") as fin, \
+                open(out, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+    return out
