@@ -92,34 +92,83 @@ class Hash16:
     remains as the API-parity host container (legacy callers, tests).
     ``max_memory_mb`` bounds the table like the reference ctor arg."""
 
-    def __init__(self, max_memory_mb: int = 0):
-        self._d: dict[int, int] = {}
-        # ~16B/entry like the reference's cell blocks (Hash16.hpp:84)
+    _EMPTY = -1
+
+    def __init__(self, max_memory_mb: int = 0, initial_capacity: int = 1024):
+        import numpy as np
+
+        # open-addressing table (linear probing, pow2 capacity, grow at
+        # 70% load) with int64 keys + int64 counts — 16 B/entry, the
+        # reference's cell size (Hash16.hpp:84); keys must be >= 0
+        # (2k-bit kmer values)
+        self._np = np
+        cap = 1
+        while cap < initial_capacity:
+            cap <<= 1
+        self._keys = np.full(cap, self._EMPTY, np.int64)
+        self._vals = np.zeros(cap, np.int64)
+        self._n = 0
         self._max_items = (max_memory_mb * (1 << 20)) // 16 \
             if max_memory_mb else 0
 
     @property
     def is_full(self) -> bool:
         """True when the memory budget is reached (callers must flush,
-        like PartitionsByHashCommand's spill rounds)."""
-        return bool(self._max_items) and len(self._d) >= self._max_items
+        like PartitionsByHashCommand's spill rounds,
+        PartitionsCommand.cpp:372-460)."""
+        return bool(self._max_items) and self._n >= self._max_items
+
+    def _slot(self, key: int) -> int:
+        mask = len(self._keys) - 1
+        i = (key * 0x9E3779B97F4A7C15 & (2**64 - 1)) >> 40
+        i &= mask
+        keys = self._keys
+        while keys[i] != self._EMPTY and keys[i] != key:
+            i = (i + 1) & mask
+        return i
+
+    def _grow(self) -> None:
+        old_k, old_v = self._keys, self._vals
+        cap = len(old_k) * 2
+        self._keys = self._np.full(cap, self._EMPTY, self._np.int64)
+        self._vals = self._np.zeros(cap, self._np.int64)
+        self._n = 0
+        for k, v in zip(old_k, old_v):
+            if k != self._EMPTY:
+                i = self._slot(int(k))
+                self._keys[i] = k
+                self._vals[i] = v
+                self._n += 1
 
     def insert(self, key: int, delta: int = 1) -> None:
-        self._d[key] = self._d.get(key, 0) + delta
+        if 10 * (self._n + 1) > 7 * len(self._keys):
+            self._grow()
+        i = self._slot(key)
+        if self._keys[i] == self._EMPTY:
+            self._keys[i] = key
+            self._n += 1
+        self._vals[i] += delta
 
     def get(self, key: int, default=0) -> int:
-        return self._d.get(key, default)
+        i = self._slot(key)
+        return int(self._vals[i]) if self._keys[i] != self._EMPTY \
+            else default
 
     @property
     def nb_items(self) -> int:
-        return len(self._d)
+        return self._n
 
     def sorted_items(self) -> Iterator[tuple[int, int]]:
-        for k in sorted(self._d):
-            yield k, self._d[k]
+        live = self._keys != self._EMPTY
+        order = self._np.argsort(self._keys[live], kind="stable")
+        ks, vs = self._keys[live][order], self._vals[live][order]
+        for k, v in zip(ks, vs):
+            yield int(k), int(v)
 
     def clear(self) -> None:
-        self._d.clear()
+        self._keys.fill(self._EMPTY)
+        self._vals.fill(0)
+        self._n = 0
 
 
 class ContainerSet:

@@ -47,17 +47,40 @@ def main():
     ug = g.unitig_graph()
     t_unitig = time.time() - t0
 
-    os.unlink(tmp.name)
     print(f"nodes: {g.nb_nodes}  unitigs: {ug.nb_unitigs}")
-    print(f"counting wall (fill+merge): {t_count:.2f}s")
-    print(f"Graph.create total: {t_create:.2f}s")
+    print(f"counting wall COLD (fill+merge): {t_count:.2f}s")
+    print(f"Graph.create total COLD: {t_create:.2f}s")
     for key in sorted(k for k in g.info if k.startswith("postsolid_time")):
         print(f"  {key} = {g.info[key]}")
-    print(f"adjacency: {t_adj:.2f}s  unitigs: {t_unitig:.2f}s")
-    post = sum(v for k, v in g.info.items()
-               if k.startswith("postsolid_time.")) + t_adj + t_unitig
-    print(f"postsolid total: {post:.2f}s  "
-          f"{'<=' if post <= t_count else '>'} counting {t_count:.2f}s")
+    print(f"adjacency: {t_adj:.2f}s  unitigs: {t_unitig:.2f}s", flush=True)
+
+    # WARM pass: the tunnel's persistent compile cache does not work for
+    # most programs (measured: 3 consecutive processes each recompiled),
+    # so steady-state times need in-process repetition — fresh Graph,
+    # same jit caches
+    from gatb_core_tpu.kmer.counting import SortingCount, CountConfig
+
+    cfg = CountConfig(kmer_size=31, abundance_min=3, batch_reads=4096,
+                      batch_len=read_len,
+                      superbatch_rows=n_reads * (read_len - 30) // 4,
+                      distinct_ratio_hint=0.06)
+    t0 = time.time()
+    res = SortingCount(cfg).execute(tmp.name)
+    t_count2 = time.time() - t0
+    g2 = Graph(31, res.solid_kmers, res.solid_counts, info=res.info)
+    t0 = time.time()
+    g2.build_postsolid(bloom_kind="neighbor", debloom_kind="cascading",
+                       mphf_kind="boophf", build_branching=True)
+    g2.precompute_adjacency()
+    ug2 = g2.unitig_graph()
+    t_post2 = time.time() - t0
+    os.unlink(tmp.name)
+    print(f"WARM counting e2e: {t_count2:.2f}s")
+    for key in sorted(k for k in g2.info
+                      if k.startswith("postsolid_time")):
+        print(f"  warm {key} = {g2.info[key]}")
+    print(f"WARM postsolid total (incl. adjacency+unitigs): {t_post2:.2f}s "
+          f"{'<=' if t_post2 <= t_count2 else '>'} counting {t_count2:.2f}s")
 
 
 if __name__ == "__main__":
