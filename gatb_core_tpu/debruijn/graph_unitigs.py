@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from .unitigs import UnitigSet, build_unitigs
 from ..ops.neighbor_ops import neighbor_candidates
-from ..collections.sortedset import _searchsorted_limbs
 
 
 @dataclass

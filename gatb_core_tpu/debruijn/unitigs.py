@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from ..ops.kmer_ops import kmers_to_py
 from ..ops.neighbor_ops import neighbor_candidates, revcomp_limbs
-from ..collections.sortedset import _searchsorted_limbs
 from ..kmer.model import kmer_to_string
 
 I32 = jnp.int32

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..collections.bloom import BloomFilter, build_bloom, \
     debloom_nbits_per_kmer, optimal_params
-from ..collections.sortedset import SortedKmerSet, _searchsorted_limbs
+from ..collections.sortedset import SortedKmerSet
 from ..ops.neighbor_ops import neighbor_candidates
 
 
