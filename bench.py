@@ -32,9 +32,13 @@ import numpy as np
 # Persistent compilation cache: tunnel compiles take 3-20+ min per program
 # depending on congestion; cache the executable on disk so repeat runs
 # (driver re-runs, retries after timeouts) skip the compile entirely.
+# The cache directory is committed to the repo (prewarmed in-round) so a
+# fresh driver process starts warm.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # Reference baseline measured on this machine (see BASELINE.md "Measured"):
 # gatb-core dbgh5 v1.4.2 (Release, -nb-cores 0 on the 2-core host) on the
@@ -91,8 +95,10 @@ def main():
     CAP_OUT = 1 << 20   # > EXPECTED_DISTINCT, bounds the reduce output
     # REPS chained runs inside one dispatch amortize the tunnel's per-call
     # round trip (~110 ms measured); each rep's input is salted by the
-    # previous rep's checksum
-    REPS = int(os.environ.get("GATB_BENCH_REPS", 32))
+    # previous rep's checksum. REPS=16 already amortizes the RTT to >10x
+    # (BASELINE.md round-3 table) and compiles in roughly half the time
+    # of REPS=32 through the tunnel — keep the official program small.
+    REPS = int(os.environ.get("GATB_BENCH_REPS", 16))
 
     jlengths = jnp.full((B,), read_len, jnp.int32)
 
@@ -117,9 +123,10 @@ def main():
         planes, val = jax.lax.map(ext, (all_words, all_vmask))
         flat = tuple(p.reshape(-1) for p in planes)
         fv = val.reshape(-1)
-        # round-3 kernel: columnsort (4 batched minor-axis sorts + 2
-        # transposes, ops/colsort.py — picked automatically at this size)
-        # + blocked two-level compaction; 216 -> ~100 ms/rep on v5e
+        # round-3 kernel: one flat lax.sort of all kmer planes (measured
+        # faster than both the tiled Pallas bitonic and columnsort here)
+        # + blocked two-level compaction (per-block minor-axis sorts + one
+        # small global sort); ~100 ms/rep on v5e
         out_p, counts, n, overflow = count_planes(
             flat, fv, spare_bits=spare, cap_out=CAP_OUT, blocked=True)
         # order+count sensitive checksum of the distinct table (scalars only
@@ -190,10 +197,13 @@ def main():
         "vs_baseline": (round(reads_per_s / REF_READS_PER_S, 3)
                         if REF_READS_PER_S else None),
     }
-    if os.environ.get("GATB_BENCH_E2E", "1") != "0":
+    # The official metric line prints FIRST, before any optional extra
+    # work — round 3's bench never printed because the e2e section's
+    # extra program compiles ran ahead of the print (VERDICT.md Missing #1).
+    print(json.dumps(result), flush=True)
+    if os.environ.get("GATB_BENCH_E2E", "0") == "1":
         e2e = run_e2e(reads[:total_reads])
-        result.update(e2e)
-    print(json.dumps(result))
+        print(json.dumps(e2e), flush=True)
 
 
 def run_e2e(reads):

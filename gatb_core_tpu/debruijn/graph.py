@@ -66,8 +66,12 @@ class Graph:
 
     def __init__(self, kmer_size: int, solid_limbs: np.ndarray,
                  solid_counts: np.ndarray, storage: Storage | None = None,
-                 info: dict | None = None):
+                 info: dict | None = None, mesh=None):
         self.kmer_size = kmer_size
+        #: optional jax.sharding.Mesh — postsolid stages (adjacency,
+        #: debloom, unitig construction) run range-sharded over it
+        #: (parallel/postsolid.py); None = single-device kernels
+        self.mesh = mesh
         self._k = kmer_size
         self._w = nb_limbs(kmer_size)
         self.solid_limbs = np.asarray(solid_limbs, np.uint32)
@@ -100,7 +104,7 @@ class Graph:
                bloom_kind: str = "neighbor", debloom_kind: str = "cascading",
                mphf_kind: str = "boophf",
                repartition: bool = True,
-               superbatch_rows: int | None = None) -> "Graph":
+               superbatch_rows: int | None = None, mesh=None) -> "Graph":
         """Full graph build from a bank (Graph::create equivalent):
         config -> repartitor -> DSK (build_visitor_solid, Graph.cpp:286-433)
         then MPHF -> Bloom -> Debloom -> Branching (build_visitor_postsolid,
@@ -139,7 +143,7 @@ class Graph:
                 rep.save(storage)
 
         graph = cls(kmer_size, result.solid_kmers, result.solid_counts,
-                    storage, result.info)
+                    storage, result.info, mesh=mesh)
         graph.build_postsolid(bloom_kind=bloom_kind,
                               debloom_kind=debloom_kind,
                               mphf_kind=mphf_kind,
@@ -174,7 +178,7 @@ class Graph:
             with ti.section("debloom"):
                 deb = build_debloom(self.solid_limbs, self._k,
                                     cascading=debloom_kind == "cascading",
-                                    bloom_kind=bloom_kind)
+                                    bloom_kind=bloom_kind, mesh=self.mesh)
                 self._debloom = deb
                 self._container = BloomCfpContainer(deb)
                 self.info.update(deb.info)
@@ -381,6 +385,18 @@ class Graph:
             import time as _t
 
             t0 = _t.time()
+            if self.mesh is not None and self.nb_nodes:
+                from ..parallel.postsolid import distributed_adjacency
+
+                self._adjacency = distributed_adjacency(
+                    self.mesh, self.solid_limbs, self._k)
+                self.info["postsolid_time.adjacency"] = round(
+                    _t.time() - t0, 3)
+                if self.storage is not None:
+                    g = self.storage.group("adjacency")
+                    g.set_dataset("masks", self._adjacency)
+                    self.storage.set_state_bit(STATE_ADJACENCY_DONE)
+                return self._adjacency
             masks = np.zeros(self.nb_nodes, np.uint8)
             pad_chunk = min(chunk, max(1, self.nb_nodes))
             for i in range(0, self.nb_nodes, pad_chunk):
@@ -490,7 +506,7 @@ class Graph:
         if live.all():
             adj = self.precompute_adjacency()
             ug = build_unitig_graph(self.solid_limbs, self.solid_counts,
-                                    adj, self._k)
+                                    adj, self._k, mesh=self.mesh)
         else:
             from .simplifications import Simplifications
 

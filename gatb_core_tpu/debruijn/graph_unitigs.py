@@ -185,9 +185,11 @@ class UnitigGraph:
 
 
 def build_unitig_graph(solid_limbs: np.ndarray, solid_counts: np.ndarray,
-                       adjacency: np.ndarray, k: int) -> UnitigGraph:
-    """Unitigs + links from the solid kmer set."""
-    us = build_unitigs(solid_limbs, solid_counts, adjacency, k)
+                       adjacency: np.ndarray, k: int,
+                       mesh=None) -> UnitigGraph:
+    """Unitigs + links from the solid kmer set. ``mesh`` shards the
+    unitig construction sweeps over the device mesh."""
+    us = build_unitigs(solid_limbs, solid_counts, adjacency, k, mesh=mesh)
     return link_unitigs(solid_limbs, us, k)
 
 

@@ -174,31 +174,39 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
 
 def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                   adjacency: np.ndarray, k: int,
-                  chunk: int = 1 << 15) -> UnitigSet:
+                  chunk: int = 1 << 15, mesh=None) -> UnitigSet:
     """Compact the solid-kmer graph into unitigs (bcalm2+bglue+links
-    equivalent, UnitigsConstructionAlgorithm.cpp:90-117)."""
+    equivalent, UnitigsConstructionAlgorithm.cpp:90-117). With ``mesh``,
+    the candidate-rank sweep and the list-ranking rounds run sharded
+    over the device mesh (parallel/postsolid.py) — results are
+    bit-identical to the single-device path."""
     n = len(solid_limbs)
     if n == 0:
         return UnitigSet([], np.zeros(0, np.float32), np.zeros(0, np.int32),
                          np.zeros(0, np.int32), np.zeros(0, np.int32),
                          np.zeros(0, np.int8))
     w = solid_limbs.shape[1]
-    table = jnp.asarray(solid_limbs)
 
-    # --- neighbor ranks + strand flips for all nodes (chunked) ---------
-    cand_ranks = np.zeros((n, 8), np.int32)
-    cand_flip = np.zeros((n, 8), np.int8)
-    kernel = _cand_kernel(k, n, min(chunk, n))
-    csize = min(chunk, n)
-    for i in range(0, n, csize):
-        part = solid_limbs[i:i + csize]
-        npart = len(part)
-        if npart < csize:
-            part = np.concatenate(
-                [part, np.zeros((csize - npart, w), np.uint32)])
-        r, fl = kernel(jnp.asarray(part), table)
-        cand_ranks[i:i + npart] = np.asarray(r)[:npart]
-        cand_flip[i:i + npart] = np.asarray(fl)[:npart]
+    # --- neighbor ranks + strand flips for all nodes -------------------
+    if mesh is not None:
+        from ..parallel.postsolid import distributed_cand_ranks
+
+        cand_ranks, cand_flip = distributed_cand_ranks(mesh, solid_limbs, k)
+    else:
+        table = jnp.asarray(solid_limbs)
+        cand_ranks = np.zeros((n, 8), np.int32)
+        cand_flip = np.zeros((n, 8), np.int8)
+        kernel = _cand_kernel(k, n, min(chunk, n))
+        csize = min(chunk, n)
+        for i in range(0, n, csize):
+            part = solid_limbs[i:i + csize]
+            npart = len(part)
+            if npart < csize:
+                part = np.concatenate(
+                    [part, np.zeros((csize - npart, w), np.uint32)])
+            r, fl = kernel(jnp.asarray(part), table)
+            cand_ranks[i:i + npart] = np.asarray(r)[:npart]
+            cand_flip[i:i + npart] = np.asarray(fl)[:npart]
 
     # --- oriented successor edges (BCALM rule) -------------------------
     succ = _oriented_succ(adjacency, cand_ranks, cand_flip)
@@ -224,8 +232,15 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
     fix = np.nonzero(has_pred)[0][~ok]
     pred[fix] = fix
 
-    pred, cycle_cut = _cut_cycles(pred)
-    roots, rank = _pointer_double(pred)
+    if mesh is not None:
+        from ..parallel.postsolid import (distributed_cut_cycles,
+                                          distributed_pointer_double)
+
+        pred, cycle_cut = distributed_cut_cycles(mesh, pred)
+        roots, rank = distributed_pointer_double(mesh, pred)
+    else:
+        pred, cycle_cut = _cut_cycles(pred)
+        roots, rank = _pointer_double(pred)
 
     # --- chains + twin dedup ------------------------------------------
     # chain id = root oriented node; the twin (RC) chain's root is the

@@ -102,12 +102,15 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
                   bloom_nbits: float | None = None,
                   cascading: bool = False, user_seed: int = 0,
                   bloom_kind: str = "neighbor",
-                  chunk: int = 1 << 15) -> DebloomResult:
+                  chunk: int = 1 << 15, mesh=None) -> DebloomResult:
     """Build Bloom + cFP over the solid set (BloomAlgorithm +
     DebloomAlgorithm equivalents). ``bloom_kind`` defaults to the
     reference graph build's main-bloom default (neighbor-coherent — a
     reference dbgh5 .h5 carries /bloom kind='neighbor');
-    ``cascading`` selects the cFP encoding (reference default kind)."""
+    ``cascading`` selects the cFP encoding (reference default kind).
+    With ``mesh``, the 8-probe extension sweep runs range-sharded over
+    the device mesh (parallel/postsolid.distributed_debloom_probe) —
+    the resulting cFP set is identical."""
     n = len(solid_limbs)
     w = solid_limbs.shape[1] if n else 1
     if bloom_nbits is None:
@@ -118,28 +121,33 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
                         nb_items=max(n, 1), user_seed=user_seed,
                         kind=bloom_kind, kmer_size=k)
 
-    cfp_parts = []
-    csize = min(chunk, max(n, 1))
-    kernel = _debloom_kernel(k, n, csize, bloom.size_bits, bloom.n_hash,
-                             user_seed, bloom.kind)
-    for i in range(0, n, csize):
-        part = solid_limbs[i:i + csize]
-        npart = len(part)
-        if npart < csize:
-            part = np.concatenate(
-                [part, np.zeros((csize - npart, w), np.uint32)])
-        hits, cands = kernel(jnp.asarray(part), table, bloom.words)
-        hits = np.asarray(hits).reshape(csize, 8)[:npart]
-        cands = np.asarray(cands).reshape(csize, 8, w)[:npart]
-        sel = hits.reshape(-1)
-        if sel.any():
-            cfp_parts.append(cands.reshape(-1, w)[sel])
+    if mesh is not None and n:
+        from ..parallel.postsolid import distributed_debloom_probe
 
-    if cfp_parts:
-        allc = np.concatenate(cfp_parts, axis=0)
-        cfp = np.unique(allc, axis=0)
+        cfp = distributed_debloom_probe(mesh, solid_limbs, k, bloom)
     else:
-        cfp = np.zeros((0, w), np.uint32)
+        cfp_parts = []
+        csize = min(chunk, max(n, 1))
+        kernel = _debloom_kernel(k, n, csize, bloom.size_bits, bloom.n_hash,
+                                 user_seed, bloom.kind)
+        for i in range(0, n, csize):
+            part = solid_limbs[i:i + csize]
+            npart = len(part)
+            if npart < csize:
+                part = np.concatenate(
+                    [part, np.zeros((csize - npart, w), np.uint32)])
+            hits, cands = kernel(jnp.asarray(part), table, bloom.words)
+            hits = np.asarray(hits).reshape(csize, 8)[:npart]
+            cands = np.asarray(cands).reshape(csize, 8, w)[:npart]
+            sel = hits.reshape(-1)
+            if sel.any():
+                cfp_parts.append(cands.reshape(-1, w)[sel])
+
+        if cfp_parts:
+            allc = np.concatenate(cfp_parts, axis=0)
+            cfp = np.unique(allc, axis=0)
+        else:
+            cfp = np.zeros((0, w), np.uint32)
 
     # reference falls back to ORIGINAL when there are no false positives
     # (DebloomAlgorithm.cpp:476-478)

@@ -836,8 +836,7 @@ def merge_tables_planes(pa, ca, na, pb, cb, nb, cap_out: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_table",))
-def rank_join(table: jnp.ndarray, queries: jnp.ndarray, n_table: int):
+def rank_join_traced(table: jnp.ndarray, queries: jnp.ndarray, n_table):
     """Rank + membership of query rows in a sorted distinct-key table.
 
     table: (C, W) uint32 ascending; rows >= n_table are all-ones padding.
@@ -883,6 +882,13 @@ def rank_join(table: jnp.ndarray, queries: jnp.ndarray, n_table: int):
     out2 = jax.lax.sort((key2, rank.astype(U32), found.astype(U32)),
                         num_keys=1)
     return out2[1][:q].astype(I32), out2[2][:q] != 0
+
+
+# public jitted entry (n_table static); rank_join_traced is the raw body
+# for callers already inside a trace with a TRACED n_table (the
+# mesh-sharded postsolid kernels, parallel/postsolid.py)
+rank_join = functools.partial(jax.jit, static_argnames=("n_table",))(
+    rank_join_traced)
 
 
 def rank_limbs(table: jnp.ndarray, queries: jnp.ndarray, n_table: int,

@@ -99,12 +99,14 @@ def test_reads1_k63_vs_reference_binary(test_db):
     _check(graph, GOLDEN_READS1_K63_A2)
 
 
+@pytest.mark.slow
 def test_reads1_k95_vs_reference_binary(test_db):
     graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=95,
                          abundance_min=1)
     _check(graph, GOLDEN_READS1_K95_A1)
 
 
+@pytest.mark.slow
 def test_reads1_k127_vs_reference_binary(test_db):
     graph = Graph.create(f"{test_db}/reads1.fa", kmer_size=127,
                          abundance_min=1, batch_len=512)

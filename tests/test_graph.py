@@ -34,7 +34,8 @@ def brute_force_graph(seqs, k, amin=1):
     return solid, neighbors
 
 
-@pytest.mark.parametrize("k", [11, 21, 31, 63])
+@pytest.mark.parametrize("k", [
+    11, pytest.param(21, marks=pytest.mark.slow), 31, 63])
 def test_graph_matches_brute_force(k):
     rng = np.random.default_rng(k)
     genome = "".join(rng.choice(list("ACGT"), size=300))

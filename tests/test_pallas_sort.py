@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from gatb_core_tpu.ops.pallas_sort import bitonic_sort_u64, sort_u32_limbs
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("n", [256, 2048, 8192])
 def test_bitonic_sort_matches_npsort(n):

@@ -205,6 +205,7 @@ def test_repartitor_reference_stream_roundtrip(tmp_path):
     assert (rep2.table == table).all()
 
 
+@pytest.mark.slow
 def test_postsolid_time_properties():
     """build_postsolid + adjacency/unitig/simplify stamp per-stage wall
     times into info (the reference's per-Algorithm 'time' properties —

@@ -141,3 +141,72 @@ def test_simplify_full():
     stats = Simplifications(graph).simplify()
     assert stats.tips_removed >= 1
     assert _live_count(graph) < before
+
+
+def test_hmcp_batch_matches_recursion():
+    """The lockstep batch walker (`_hmcp_batch`) must agree with the
+    per-candidate recursive oracle (`_hmcp_unitigs`) on every candidate
+    it does NOT flag for fallback — on messy random graphs with real
+    bulges (mutated re-reads create alternative paths)."""
+    rng = np.random.default_rng(42)
+    k = 11
+    total = fallbacks = 0
+    for trial in range(6):
+        n = 300 + 100 * trial
+        genome = _rand(rng, n)
+        reads = [genome, genome]
+        # mutated copies -> bulges / alternative paths
+        for _ in range(6):
+            g = list(genome)
+            for _ in range(3):
+                pos = rng.integers(k, n - k)
+                g[pos] = "ACGT"[rng.integers(4)]
+            reads.append("".join(g))
+        graph = _graph(reads, k)
+        simp = Simplifications(graph)
+        live = ~(graph.node_state & 1).astype(bool)
+        us, ug = simp._compact(graph.solid_limbs[live],
+                               graph.solid_counts[live])
+        deg = np.asarray(ug.out_degree_oriented(), np.int64)
+        nk = np.asarray(ug.kmer_counts, np.int64)
+        lens = np.asarray(ug.unitig_lengths(), np.int64)
+        link_t = np.asarray(ug.link_targets, np.int64)
+        link_o = np.asarray(ug.link_offsets, np.int64)
+        max_bulge = max(int(k * simp.BULGE_LEN_KMULT),
+                        k + simp.BULGE_LEN_KADD)
+        backtrack = k + simp.BULGE_ALTPATH_KADD
+
+        # candidate generation identical to remove_bulges
+        cand = []
+        for a in np.nonzero(deg >= 2)[0]:
+            for t in link_t[link_o[a]:link_o[a + 1]]:
+                a, t = int(a), int(t)
+                ui = t >> 1
+                if t == (a ^ 1) or not (nk[ui] > 1 and
+                                        lens[ui] <= max_bulge):
+                    continue
+                if deg[t] == 0:
+                    continue
+                f0 = int(link_t[link_o[t]])
+                if not deg[f0 ^ 1] > 1:
+                    continue
+                pl = int(nk[ui]) - 1
+                cand.append((a, f0, t, max(int(pl * 1.1), pl + 3)))
+        if not cand:
+            continue
+        arr = np.asarray(cand, np.int64)
+        alt, need_fb = simp._hmcp_batch(ug, arr[:, 0], arr[:, 1],
+                                        arr[:, 2], arr[:, 3], backtrack)
+        total += len(cand)
+        fallbacks += int(need_fb.sum())
+        for i, (a, f0, t, ml) in enumerate(cand):
+            if need_fb[i]:
+                continue
+            want = simp._hmcp_unitigs(ug, a, f0, avoid=t, maxlen=ml,
+                                      backtrack_limit=backtrack)
+            got = None if np.isnan(alt[i]) else alt[i]
+            assert (want is None) == (got is None), (trial, i, want, got)
+            if want is not None:
+                assert got == pytest.approx(want), (trial, i)
+    assert total > 50          # the fixtures actually exercised the walker
+    assert fallbacks < total   # and the batch path handled most of them

@@ -6,6 +6,8 @@ X / tip / bubble / EC graphs, plus the unitig-traversal output strings.
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gatb_core_tpu.bank.fasta import BankStrings
 from gatb_core_tpu.debruijn.graph import Graph
 

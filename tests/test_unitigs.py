@@ -122,7 +122,9 @@ def canon_seq(s):
     return min(s, rc)
 
 
-@pytest.mark.parametrize("k", [11, 15, 21, 31])
+@pytest.mark.parametrize("k", [
+    11, pytest.param(15, marks=pytest.mark.slow),
+    pytest.param(21, marks=pytest.mark.slow), 31])
 def test_unitigs_match_brute_force(k):
     rng = np.random.default_rng(k + 1)
     genome = "".join(rng.choice(list("ACGT"), size=400))
