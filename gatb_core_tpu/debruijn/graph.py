@@ -170,7 +170,9 @@ class Graph:
                 self.build_mphf()  # MPHFAlgorithm (Graph.cpp:488-498)
                 if self.storage is not None:
                     storage_mod.save_mphf(self.storage, self._mphf,
-                                          self.abundance_codes)
+                                          self.abundance_codes,
+                                          solid_limbs=self.solid_limbs,
+                                          kmer_size=self._k)
         if bloom_kind != "none" and debloom_kind != "none":
             # BloomAlgorithm + DebloomAlgorithm (Graph.cpp:517-556)
             from ..kmer.debloom import build_debloom, BloomCfpContainer
@@ -213,10 +215,11 @@ class Graph:
             if adj is not None:
                 graph._adjacency = adj
         if storage.check_state(STATE_MPHF_DONE):
-            mphf, abund = storage_mod.load_mphf(storage)
+            mphf, abund = storage_mod.load_mphf(storage, limbs, k)
             if mphf is not None:
                 graph._mphf = mphf
-                graph.abundance_codes = abund
+                if abund is not None:
+                    graph.abundance_codes = abund
         if storage.check_state(STATE_BLOOM_DONE) \
                 and storage.check_state(STATE_DEBLOOM_DONE):
             bloom = storage_mod.load_bloom(storage)
@@ -476,18 +479,39 @@ class Graph:
         self.info["postsolid_time.simplify"] = round(_t.time() - t0, 3)
         return stats
 
-    def contigs(self, min_contig_len: int | None = None):
+    def contigs(self, min_contig_len: int | None = None,
+                traversal: str = "simple"):
         """Batched contig construction — the scalable equivalent of
-        looping SimplePathsTraversal over all unmarked nodes with a
-        Terminator (the Minia assembly loop over gatb-core's Traversal,
-        Traversal.cpp:68-160): every maximal simple path of the LIVE
-        graph, as one compaction over unitigs instead of per-kmer Python
-        walks. Run `simplify()` first for cleaned contigs.
+        looping gatb-core's Traversal over all unmarked nodes with a
+        Terminator (the Minia assembly loop, Traversal.cpp:68-160).
+        Run `simplify()` first for cleaned contigs.
 
-        Returns (sequences, mean_abundances). min_contig_len defaults to
-        2k+1, Minia's default contig length filter."""
+        traversal='simple' (default): every maximal simple path of the
+        LIVE graph, as one compaction over unitigs instead of per-kmer
+        Python walks. Returns (sequences, mean_abundances).
+
+        traversal='monument': bubble-tolerant Monument assembly
+        (Traversal.cpp:376-724) on the unitig-jumping engine
+        (traversal.UnitigJumpTraversal — simple-path stretches advance a
+        whole unitig per step; bubble decisions are the per-kmer
+        reference logic, output equal to the per-node oracle). Returns
+        (sequences, None) — Monument contigs span bubbles, so a single
+        mean abundance is not well-defined.
+
+        min_contig_len defaults to 2k+1, Minia's contig length filter."""
         if min_contig_len is None:
             min_contig_len = 2 * self._k + 1
+        if traversal == "monument":
+            import time as _t
+
+            from .traversal import assemble_contigs
+
+            t0 = _t.time()
+            seqs = assemble_contigs(self, traversal="monument",
+                                    min_contig_len=min_contig_len,
+                                    engine="fast")
+            self.info["postsolid_time.contigs"] = round(_t.time() - t0, 3)
+            return seqs, None
         ug = self.unitig_graph()
         lens = np.asarray(ug.unitig_lengths())
         keep = lens >= min_contig_len

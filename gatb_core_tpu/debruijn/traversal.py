@@ -61,31 +61,37 @@ class NodeGraphView:
                 self.flips[i:i + npart] = np.asarray(fl)[:npart]
         deleted = (graph.node_state & 1).astype(bool)
         self.alive = ~deleted
+        # vectorized oriented out-neighbor table (2N, 4): neighbor oid per
+        # nucleotide or -1 — one numpy pass instead of per-call Python
+        # slot arithmetic (the r3 out_neighbors was the assembly loop's
+        # hottest line)
+        self.out_nbr = np.full((2 * max(n, 1), 4), -1, np.int64)
+        if n:
+            r, f, alive = self.ranks, self.flips, self.alive
+            for nt in range(4):
+                j = r[:, nt].astype(np.int64)
+                ok = (j >= 0) & alive[np.maximum(j, 0)]
+                self.out_nbr[0::2, nt] = np.where(ok, 2 * j + f[:, nt], -1)
+                slot = 4 + (nt ^ 2)
+                j2 = r[:, slot].astype(np.int64)
+                ok2 = (j2 >= 0) & alive[np.maximum(j2, 0)]
+                self.out_nbr[1::2, nt] = np.where(
+                    ok2, 2 * j2 + 1 - f[:, slot], -1)
+            # dead nodes have no out-edges either
+            dead2 = np.repeat(~alive, 2)
+            self.out_nbr[dead2] = -1
+        self.out_deg_arr = (self.out_nbr >= 0).sum(axis=1)
 
     def out_neighbors(self, oid: int):
         """[(neighbor_oid, nucleotide)] out-edges of an oriented node."""
-        i, s = oid >> 1, oid & 1
-        out = []
-        for nt in range(4):
-            if s == 0:
-                slot = nt
-                j = self.ranks[i, slot]
-                if j < 0 or not self.alive[j]:
-                    continue
-                out.append((2 * int(j) + int(self.flips[i, slot]), nt))
-            else:
-                slot = 4 + (nt ^ 2)
-                j = self.ranks[i, slot]
-                if j < 0 or not self.alive[j]:
-                    continue
-                out.append((2 * int(j) + 1 - int(self.flips[i, slot]), nt))
-        return out
+        row = self.out_nbr[oid]
+        return [(int(row[nt]), nt) for nt in range(4) if row[nt] >= 0]
 
     def in_degree(self, oid: int) -> int:
-        return len(self.out_neighbors(oid ^ 1))
+        return int(self.out_deg_arr[oid ^ 1])
 
     def out_degree(self, oid: int) -> int:
-        return len(self.out_neighbors(oid))
+        return int(self.out_deg_arr[oid])
 
     def node_string(self, oid: int) -> str:
         from ..kmer.model import revcomp, kmer_to_string
@@ -422,15 +428,125 @@ def needleman_wunsch_identity(a: str, b: str) -> float:
     return identity / max(na, nb) if max(na, nb) else 1.0
 
 
+class UnitigJumpTraversal(MonumentTraversal):
+    """Monument traversal that advances whole UNITIGS at a time on the
+    simple-path stretches (the scalable engine VERDICT r3 item 5 asks
+    for): inside a unitig every kmer has out==1/in==1, so the oracle's
+    per-kmer avance is a deterministic chain — replaced by one array
+    slice (bases appended in bulk, marks set in bulk). Only unitig
+    EXITS (possible branchings) and mark collisions drop to the
+    per-kmer Monument logic, which is inherited UNCHANGED — so bubble
+    decisions, stats, and contig output match the per-node oracle
+    exactly (asserted by tests/test_traversal_batched.py)."""
+
+    def __init__(self, view: NodeGraphView, terminator: Terminator,
+                 us, ug, **kw):
+        super().__init__(view, terminator, **kw)
+        self.us = us
+        self.ug = ug
+        # CSR: node ids of each unitig in position order
+        nu = us.node_unitig
+        valid = nu >= 0
+        order = np.lexsort((us.node_pos[valid], nu[valid]))
+        self._unodes = np.nonzero(valid)[0][order]
+        self._uoff = np.zeros(us.nb_unitigs + 1, np.int64)
+        np.add.at(self._uoff, nu[valid] + 1, 1)
+        self._uoff = np.cumsum(self._uoff)
+        self._seq_cache = {}
+
+    def _useq(self, u: int) -> str:
+        s = self._seq_cache.get(u)
+        if s is None:
+            s = self.ug.sequences[u]
+            if len(self._seq_cache) > 4096:
+                self._seq_cache.clear()
+            self._seq_cache[u] = s
+        return s
+
+    _COMP = str.maketrans("ACGT", "TGCA")
+
+    def traverse(self, start_oid: int, max_len: int = 1_000_000):
+        """Unitig-jumping extension; returns (nucleotides, last_oid)."""
+        path: list[int] = []
+        cur = start_oid
+        prev = None
+        marks = self.terminator.marks
+        us, k = self.us, self.view.k
+        while len(path) < max_len:
+            i, s = cur >> 1, cur & 1
+            u = int(us.node_unitig[i])
+            if u >= 0:
+                nk = int(us.kmer_counts[u])
+                pos = int(us.node_pos[i])
+                fwd = (s == int(us.node_strand[i]))
+                exit_pos = nk - 1 if fwd else 0
+                if pos != exit_pos:
+                    # nodes ahead inside the unitig, in travel order
+                    span = self._unodes[self._uoff[u]:self._uoff[u + 1]]
+                    ahead = span[pos + 1:] if fwd else span[pos - 1::-1]
+                    if not marks[ahead].any():
+                        seq = self._useq(u)
+                        if fwd:
+                            bases = seq[pos + k:]
+                        else:
+                            bases = seq[:pos].translate(self._COMP)[::-1]
+                        path.extend(NUCLEOTIDES.index(c) for c in bases)
+                        marks[ahead] = True
+
+                        # travel-oriented oid of node j: 2j + strand[j],
+                        # xor 1 when traveling against the unitig
+                        def oid_of(j):
+                            return 2 * int(j) + (int(us.node_strand[j])
+                                                 ^ (0 if fwd else 1))
+
+                        prev = oid_of(ahead[-2]) if len(ahead) > 1 else cur
+                        cur = oid_of(ahead[-1])
+                        continue
+                    # a marked node ahead: oracle semantics per-kmer
+            ext = self.avance(cur, prev)
+            if not ext:
+                break
+            for (nt, nxt) in ext:
+                path.append(nt)
+                prev = cur
+                cur = nxt
+                self.terminator.mark(nxt)
+        return path, cur
+
+
 def assemble_contigs(graph, traversal: str = "monument",
-                     min_contig_len: int = 0) -> list[str]:
+                     min_contig_len: int = 0,
+                     engine: str = "oracle") -> list[str]:
     """Assemble contigs from all unmarked starting nodes (the Minia-style
-    assembly loop over the graph)."""
+    assembly loop over the graph). ``engine='fast'`` uses the
+    unitig-jumping Monument (same output, seconds at multimillion-node
+    scale); 'oracle' is the per-kmer reference port."""
     view = NodeGraphView(graph)
     terminator = Terminator(view)
-    cls = MonumentTraversal if traversal == "monument" \
-        else SimplePathsTraversal
-    trav = cls(view, terminator)
+    if engine == "fast" and traversal == "monument":
+        from .simplifications import Simplifications
+
+        live = ~(graph.node_state & 1).astype(bool)
+        simp = Simplifications(graph)
+        us, ug = simp._compact(graph.solid_limbs[live],
+                               graph.solid_counts[live])
+        # us indexes the LIVE subset; remap node arrays to the full table
+        nu = np.full(view.n, -1, np.int32)
+        npos = np.zeros(view.n, np.int32)
+        nstr = np.zeros(view.n, np.int8)
+        live_idx = np.nonzero(live)[0]
+        nu[live_idx] = us.node_unitig
+        npos[live_idx] = us.node_pos
+        nstr[live_idx] = us.node_strand
+        from dataclasses import replace
+
+        us_full = replace(us, node_unitig=nu, node_pos=npos,
+                          node_strand=nstr)
+        trav = UnitigJumpTraversal(view, terminator, us_full, ug)
+    else:
+        cls = MonumentTraversal if traversal == "monument" \
+            else SimplePathsTraversal
+        trav = cls(view, terminator)
 
     # Start from path boundaries first (dead ends and branching nodes),
     # then interior nodes (cycles): starting inside a bubble would
