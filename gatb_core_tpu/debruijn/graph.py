@@ -43,19 +43,24 @@ from ..storage.hdf5 import (
 U32 = jnp.uint32
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_table"))
-def _adjacency_kernel(nodes, table, k: int, n_table: int):
+@functools.partial(jax.jit, static_argnames=("k",))
+def _adjacency_kernel(nodes, table, k: int, n_table=None):
     """8-bit adjacency masks for a batch of nodes against the solid table.
 
-    Membership via the sort-join (ops/sortops.rank_limbs): the reference's
+    Membership via the sort-join (ops/sortops.rank_join): the reference's
     per-neighbor hash probes (Graph.cpp:3508-3610) would be log(n) random
-    gathers per candidate here — the gather wall (BASELINE.md)."""
-    from ..ops.sortops import rank_limbs
+    gathers per candidate here — the gather wall (BASELINE.md).
+    ``n_table`` is TRACED (r4): with a pow2-padded table every capacity
+    bucket compiles once, however the live count drifts between
+    simplify compaction passes."""
+    from ..ops.sortops import rank_join_traced
 
     n, w = nodes.shape
+    if n_table is None:
+        n_table = table.shape[0]
     cands = neighbor_candidates(nodes, k)      # (N, 8, W)
     flat = cands.reshape(n * 8, w)
-    _, found = rank_limbs(table, flat, n_table)
+    _, found = rank_join_traced(table, flat, n_table)
     bits = found.reshape(n, 8).astype(jnp.uint8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
     return jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)
@@ -360,9 +365,14 @@ class Graph:
     # ------------------------------------------------------------------
     def adjacency_masks(self, nodes) -> np.ndarray:
         """8-bit neighbor mask per node: bits 0-3 out by nt, 4-7 in by nt."""
+        from ..ops.sortops import pad_rows_pow2
+
         batch = self._as_batch(nodes)
+        if getattr(self, "_ptab", None) is None:
+            ptab, _ = pad_rows_pow2(self.solid_limbs)
+            self._ptab = jnp.asarray(ptab)
         return np.asarray(_adjacency_kernel(
-            jnp.asarray(batch), self._set.limbs, self._k, self._set.n))
+            jnp.asarray(batch), self._ptab, self._k, self._set.n))
 
     def neighbors(self, node) -> dict:
         """Scalar convenience: {'out': [limbs...], 'in': [limbs...]}."""
@@ -387,6 +397,8 @@ class Graph:
         if self._adjacency is None:
             import time as _t
 
+            from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
             t0 = _t.time()
             if self.mesh is not None and self.nb_nodes:
                 from ..parallel.postsolid import distributed_adjacency
@@ -401,17 +413,19 @@ class Graph:
                     self.storage.set_state_bit(STATE_ADJACENCY_DONE)
                 return self._adjacency
             masks = np.zeros(self.nb_nodes, np.uint8)
-            pad_chunk = min(chunk, max(1, self.nb_nodes))
+            ptab, n = pad_rows_pow2(self.solid_limbs)
+            jtab = jnp.asarray(ptab)
+            pad_chunk = min(sweep_chunk(self.nb_nodes),
+                            _next_pow2_int(max(1, self.nb_nodes)))
             for i in range(0, self.nb_nodes, pad_chunk):
                 part = self.solid_limbs[i:i + pad_chunk]
-                if len(part) < pad_chunk:  # pad to static shape
-                    pad = np.zeros((pad_chunk - len(part), self._w),
+                npart = len(part)
+                if npart < pad_chunk:  # pad to static shape
+                    pad = np.zeros((pad_chunk - npart, self._w),
                                    np.uint32)
-                    padded = np.concatenate([part, pad])
-                    masks[i:i + len(part)] = self.adjacency_masks(
-                        padded)[:len(part)]
-                else:
-                    masks[i:i + pad_chunk] = self.adjacency_masks(part)
+                    part = np.concatenate([part, pad])
+                masks[i:i + npart] = np.asarray(_adjacency_kernel(
+                    jnp.asarray(part), jtab, self._k, n))[:npart]
             self._adjacency = masks
             self.info["postsolid_time.adjacency"] = round(_t.time() - t0, 3)
             if self.storage is not None:
@@ -565,6 +579,13 @@ def _plan_partitions(bank, kmer_size: int, minimizer_size: int) -> int:
         return max(1, plan.nb_partitions)
     except (ValueError, OSError):
         return 1
+
+
+def _next_pow2_int(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
 
 
 def _popcount4(x: np.ndarray) -> np.ndarray:

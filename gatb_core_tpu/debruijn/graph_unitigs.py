@@ -193,9 +193,11 @@ def build_unitig_graph(solid_limbs: np.ndarray, solid_counts: np.ndarray,
     return link_unitigs(solid_limbs, us, k)
 
 
-def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int) \
-        -> UnitigGraph:
-    """Compute oriented unitig links from extremity-kmer adjacency."""
+def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int,
+                 precomputed=None) -> UnitigGraph:
+    """Compute oriented unitig links from extremity-kmer adjacency.
+    ``precomputed``: optional (N, 8) candidate ranks/flips over ALL
+    nodes — extremity rows are then sliced instead of re-swept."""
     u_count = us.nb_unitigs
     n = len(solid_limbs)
     if u_count == 0:
@@ -223,32 +225,25 @@ def link_unitigs(solid_limbs: np.ndarray, us: UnitigSet, k: int) \
     ori_ids = np.concatenate([2 * np.arange(u_count),
                               2 * np.arange(u_count) + 1])
 
-    # out-extensions of each last oriented kmer -> neighbor nodes
-    limbs = solid_limbs[last_nodes]
-    table = jnp.asarray(solid_limbs)
-    cands = np.asarray(neighbor_candidates(jnp.asarray(limbs), k))
+    # out-extensions of each last oriented kmer -> neighbor nodes:
+    # ONE jitted ranks+flips sweep (unitigs._cand_ranks_flips), table and
+    # query batch pow2-padded with a traced live count so recompaction
+    # passes reuse one compiled program per capacity bucket (r4)
     m = len(last_nodes)
-    flat = cands.reshape(m * 8, -1)
-    from ..ops.sortops import rank_limbs
+    if precomputed is not None:
+        ranks = precomputed[0][last_nodes]
+        flips = precomputed[1][last_nodes]
+    else:
+        from ..ops.sortops import pad_rows_pow2
+        from .unitigs import _cand_ranks_flips
 
-    pos, found = rank_limbs(table, jnp.asarray(flat), n)
-    pos, found = np.asarray(pos), np.asarray(found)
-    ranks = np.where(found, pos, -1).reshape(m, 8)
-
-    # also need the entering strand of each candidate (flip), recompute like
-    # unitigs._cand_kernel: candidate forward-form comparison
-    from ..ops.neighbor_ops import shl2_or, shr2_or_top, revcomp_limbs
-    jl = jnp.asarray(limbs)
-    f = jl
-    r = revcomp_limbs(jl, k)
-    flips = np.zeros((m, 8), np.int8)
-    for nt in range(4):
-        cnt = jnp.full((m,), nt, jnp.uint32)
-        fwd = shl2_or(f, cnt, k)
-        flips[:, nt] = np.asarray(jnp.any(fwd != cands[:, nt], axis=-1))
-        fwd_in = shr2_or_top(f, cnt, k)
-        flips[:, 4 + nt] = np.asarray(
-            jnp.any(fwd_in != cands[:, 4 + nt], axis=-1))
+        limbs = solid_limbs[last_nodes]
+        ptab, _ = pad_rows_pow2(solid_limbs)
+        plimbs, _ = pad_rows_pow2(limbs)
+        r_j, f_j = _cand_ranks_flips(jnp.asarray(plimbs),
+                                     jnp.asarray(ptab), jnp.int32(n), k)
+        ranks = np.asarray(r_j)[:m]
+        flips = np.asarray(f_j)[:m]
 
     # out-extensions of the oriented kmer (node, s), fully vectorized over
     # all 2U extremities x 4 nucleotides (the reference does this with an

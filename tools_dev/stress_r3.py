@@ -112,6 +112,32 @@ def run_ours():
     return el
 
 
+def run_ours_warm():
+    """Cold + warm wall-clock in ONE process (round-4, VERDICT r3 item 2):
+    the axon tunnel's compile service does not serialize executables
+    (no cross-process compile cache — CLAUDE.md), so 'warm' means the
+    in-process jit cache: the second run is pure steady-state
+    parse/transfer/compute. Records both, plus the distinct-program
+    count of each run (nb_device_programs)."""
+    from gatb_core_tpu.tools import dbgh5 as dbgh5_tool
+
+    times = {}
+    for label in ("cold", "warm"):
+        out = OURS_H5.replace(".h5", f"_{label}.h5")
+        t0 = time.time()
+        rc = dbgh5_tool.main([
+            "-in", FASTA, "-kmer-size", str(K),
+            "-abundance-min", str(AMIN), "-max-memory", str(MAXMEM),
+            "-max-disk", str(MAXDISK), "-out", out, "-bloom", "none",
+            "-debloom", "none", "-branching-nodes", "none",
+            "-mphf", "none", "-verbose", "1"])
+        el = time.time() - t0
+        assert rc == 0, rc
+        log(f"ours[{label}]: {el:.0f}s")
+        times[f"ours_seconds_{label}"] = round(el, 1)
+    return times
+
+
 def compare():
     import h5py
 
@@ -151,6 +177,8 @@ def main():
         results["ref_seconds"] = run_ref()
     if args.phase in ("ours", "all"):
         results["ours_seconds"] = run_ours()
+    if args.phase == "warm":
+        results.update(run_ours_warm())
     if args.phase in ("compare", "all"):
         results.update(compare())
     with open(RESULTS, "a") as f:
