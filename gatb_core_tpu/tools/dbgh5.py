@@ -69,7 +69,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
                    help="accepted for reference CLI compat (parallelism "
                         "is the device mesh here)")
+    p.add_argument("-email", dest="email", default=None,
+                   help="send statistics to the given email address "
+                        "(tools/dbgh5.cpp:98-128: pipes the props dump "
+                        "through the system `mail` command)")
+    p.add_argument("-email-fmt", dest="email_fmt", default="raw",
+                   choices=["raw", "xml"],
+                   help="format of the statistics email")
     return p
+
+
+def _send_email(args, props) -> None:
+    """sendEmail (tools/dbgh5.cpp:98-128): raw/xml props dump piped to
+    the system `mail` command; failures are non-fatal (the reference
+    ::system call ignores them too)."""
+    import subprocess
+
+    body = props.dump_raw() if args.email_fmt == "raw" else props.dump_xml()
+    base = args.input.split(",")[0].rsplit("/", 1)[-1]
+    try:
+        subprocess.run(["mail", "-s", f"[dbgh5] {base}", args.email],
+                       input=body.encode(), timeout=30, check=False)
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        print(f"warning: could not send email: {exc}", file=sys.stderr)
 
 
 def _plan_nb_passes(args) -> int:
@@ -134,6 +156,9 @@ def main(argv=None) -> int:
     if args.verbose:
         print(props.dump_raw())
 
+    if args.email:
+        _send_email(args, props)
+
     if args.check_dump:
         with open(args.check_dump, "w") as f:
             for k, v in props.as_flat_dict().items():
@@ -157,6 +182,30 @@ def main(argv=None) -> int:
     if graph.storage is not None:
         graph.storage.close()
     return 0
+
+
+from ..misc.algorithm import Tool
+
+
+class Dbgh5Tool(Tool):
+    """dbgh5 on the Tool contract (Tool.hpp:79-251): build_parser() ->
+    run via execute() -> props dump. The module-level main() remains the
+    plain entry the tests/CLI use; this class makes the graph-build tool
+    a first-class `misc.algorithm.Tool` like the reference's."""
+
+    def __init__(self):
+        super().__init__("dbgh5")
+
+    def build_parser(self):
+        return build_parser()
+
+    def execute(self, argv=None) -> int:
+        rc = main(argv)
+        self.info["rc"] = rc
+        return rc
+
+    def main(self, argv=None) -> int:
+        return self.run(argv)
 
 
 if __name__ == "__main__":
