@@ -203,7 +203,55 @@ def main():
     print(json.dumps(result), flush=True)
     if os.environ.get("GATB_BENCH_E2E", "0") == "1":
         e2e = run_e2e(reads[:total_reads])
+        e2e.update(run_e2e_resident(reads[:total_reads]))
         print(json.dumps(e2e), flush=True)
+
+
+def run_e2e_resident(reads):
+    """Data-resident e2e: the bank is parsed/packed/staged on device ONCE
+    (outside the timer); each trial then measures one full counting
+    dispatch over the staged reads PLUS the solid-table down-fetch —
+    the compute+result story with the 33 MB/s read-upload excluded
+    (VERDICT r3 weak #3 asked for this figure next to the cold one).
+    Three pre-salted input copies defeat the tunnel's execution cache."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from gatb_core_tpu.kmer.counting import _superbatch_count, _fetch_table
+    from gatb_core_tpu.ops.bitpack import pack_batch_np
+
+    n_reads, read_len = reads.shape
+    K = 31
+    staged = []
+    for salt in range(3):
+        r = reads if salt == 0 else (reads ^ np.uint8(salt)) % 4
+        words, vmask = pack_batch_np(r, np.ones_like(r, bool))
+        staged.append((jnp.asarray(words[None]), jnp.asarray(vmask[None]),
+                       jnp.asarray(np.full((1, n_reads), read_len,
+                                           np.int32))))
+
+    def once(w, v, l):
+        out = _superbatch_count(w, v, l, jnp.int32(0), k=K, m=10,
+                                nb_passes=1, spare=True, cap_out=1 << 20,
+                                packed=True, L=read_len, blocked=True)
+        n = int(np.asarray(out[2]))
+        kmers, counts = _fetch_table(out[0], out[1], n, 2)
+        return len(kmers), int(counts.sum())
+
+    once(*staged[0])                       # compile + warm
+    times = []
+    for w, v, l in staged:
+        t0 = _t.time()
+        nd, tot = once(w, v, l)
+        times.append(_t.time() - t0)
+        assert tot == n_reads * (read_len - K + 1)
+    rps = n_reads / min(times)
+    return {
+        "e2e_resident_reads_per_s": round(rps, 1),
+        "e2e_resident_vs_baseline": round(rps / REF_READS_PER_S, 3),
+    }
 
 
 def run_e2e(reads):

@@ -131,3 +131,20 @@ def test_dbginfo_cli(test_db, tmp_path, capsys):
     assert "nb_solid_kmers : 623" in out
     assert "SORTING_COUNT_DONE" in out and "BRANCHING_DONE" in out
     assert "nb_branching : 24" in out
+
+
+def test_dbgh5_tool_contract_and_email(tmp_path):
+    """Dbgh5Tool on the Tool contract + -email (tools/dbgh5.cpp:98-128:
+    piped to the system mail command, non-fatal when absent)."""
+    from gatb_core_tpu.tools.dbgh5 import Dbgh5Tool
+
+    tool = Dbgh5Tool()
+    rc = tool.main([
+        "-in", "/root/reference/gatb-core/test/db/reads1.fa",
+        "-kmer-size", "21", "-abundance-min", "1",
+        "-out", str(tmp_path / "t.h5"), "-verbose", "0",
+        "-email", "nobody@example.invalid", "-email-fmt", "xml",
+        "-bloom", "none", "-debloom", "none", "-mphf", "none",
+        "-branching-nodes", "none"])
+    assert rc == 0
+    assert "exec_time" in tool.get_info()
