@@ -29,11 +29,11 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: tunnel compiles take 3-20+ min per program
-# depending on congestion; cache the executable on disk so repeat runs
-# (driver re-runs, retries after timeouts) skip the compile entirely.
-# The cache directory is committed to the repo (prewarmed in-round) so a
-# fresh driver process starts warm.
+# Persistent compilation cache dir: HARMLESS-BUT-INERT through the axon
+# tunnel (verified r4: the remote backend does not serialize executables,
+# so nothing is ever written — see CLAUDE.md). Kept so a future backend
+# that does support serialization starts caching automatically; the real
+# timeout defense is ONE compiled program + print-first below.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))

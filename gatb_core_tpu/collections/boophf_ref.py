@@ -21,8 +21,7 @@ level every still-unplaced key hashes into a bit array; bits hit once
 keep the key at this level, collided bits are cleared and the keys
 cascade; leftovers land in an exact final map valued by arrival order.
 Deterministic given the key iteration order, so our numpy build emits a
-stream the reference binary loads. Key width = sizeof(Kmer<span>::Type)
-= 8 * ceil(span/32 words / 2) bytes.
+stream the reference binary loads. Key width: see ref_key_words().
 """
 
 from __future__ import annotations
@@ -307,25 +306,33 @@ class RefBooPHF:
                     placed_bit = cnt == 1       # collisions cleared
                     keep = placed_bit[pos]      # keys placed at this level
                     bits = np.nonzero(placed_bit)[0]
-                    np.bitwise_or.at(lv_words, bits // 64,
-                                     U64(1) << (bits % 64).astype(U64))
+                    # set bits via two exact float64 bincounts (distinct
+                    # powers of two per 32-bit half sum exactly) — the
+                    # bitwise_or.at scatter is one of numpy's slowest ops
+                    wi2 = bits // 64
+                    bi = bits % 64
+                    lo = bi < 32
+                    w_lo = np.bincount(
+                        wi2[lo], weights=(1 << bi[lo]).astype(np.float64),
+                        minlength=nchar)
+                    w_hi = np.bincount(
+                        wi2[~lo],
+                        weights=(1 << (bi[~lo] - 32)).astype(np.float64),
+                        minlength=nchar)
+                    lv_words = (w_hi.astype(U64) << U64(32)) \
+                        | w_lo.astype(U64)
                     act_idx = np.nonzero(active)[0]
                     active[act_idx[keep]] = False
             # ranks: cumulative across levels, sampled every 512 bits
+            # (= every 8th word), value = set bits before that word
             pc = _popcount(lv_words)
-            nb_samples = (nchar + 7) // 8 if nchar else 0
-            ranks = np.zeros(max(nb_samples, 1) if nchar else 0, U64)
-            run = offset
-            ri = 0
-            for wi2 in range(nchar):
-                if (wi2 * 64) % _RANK_SAMPLE == 0:
-                    ranks[ri] = run
-                    ri += 1
-                run += int(pc[wi2])
-            offset = run
+            excl = np.zeros(nchar, np.int64)
+            excl[1:] = np.cumsum(pc)[:-1]
+            ranks = (offset + excl[0:nchar:8]).astype(U64)
+            offset += int(pc.sum())
             prefix = np.zeros(nchar + 1, np.int64)
             prefix[1:] = np.cumsum(pc)
-            levels.append(_Level(dom, lv_words, ranks[:ri], prefix))
+            levels.append(_Level(dom, lv_words, ranks, prefix))
 
         rem = np.nonzero(active)[0]             # arrival order = key order
         fkeys = words[rem].astype(U64)
@@ -360,13 +367,23 @@ class RefMPHFAdapter:
         return np.where(codes >= 0, self._inv[safe], -1)
 
 
+def ref_key_words(k: int) -> int:
+    """Key width in u64 words of the reference's Kmer<span>::Type for
+    kmer size k: the span classes are 32/64/96/128 and require k < span
+    (Model.hpp:401 throws on sizeKmer >= span), so span = the smallest
+    class STRICTLY above k and sizeof = 8 * ((span+31)/32 words / ...)
+    = 8 * (k // 32 + 1) bytes. For odd k this equals ceil(2k/64); for
+    k = 32/64/96 (even multiples of 32) it is one word MORE than our
+    limb count implies — sizing by limbs alone misparses the stream."""
+    return k // 32 + 1
+
+
 def limbs_to_words64(limbs: np.ndarray, k: int) -> np.ndarray:
     """(N, W32) big-endian uint32 limb rows -> (N, W64) little-endian
-    uint64 key words, exactly the in-memory LargeInt<W64> layout the
-    reference hashes (low word first). sizeof(Kmer<span>::Type) pads odd
-    limb counts with a zero high word."""
+    uint64 key words, exactly the in-memory LargeInt layout the
+    reference hashes (low word first), W64 = ref_key_words(k)."""
     n, w32 = limbs.shape
-    w64 = (w32 + 1) // 2
+    w64 = ref_key_words(k)
     out = np.zeros((n, w64), U64)
     for j in range(w32):
         word_idx = (w32 - 1 - j) // 2

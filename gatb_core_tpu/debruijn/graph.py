@@ -391,7 +391,7 @@ class Graph:
         m = self.adjacency_masks(nodes)
         return _popcount4(m >> 4)
 
-    def precompute_adjacency(self, chunk: int = 1 << 15) -> np.ndarray:
+    def precompute_adjacency(self, chunk: int | None = None) -> np.ndarray:
         """Cache the 8-bit mask for every node (precomputeAdjacency,
         Graph.cpp:3508-3610)."""
         if self._adjacency is None:
@@ -417,6 +417,8 @@ class Graph:
             jtab = jnp.asarray(ptab)
             pad_chunk = min(sweep_chunk(self.nb_nodes),
                             _next_pow2_int(max(1, self.nb_nodes)))
+            if chunk:   # caller-imposed device-memory bound
+                pad_chunk = min(pad_chunk, _next_pow2_int(chunk))
             for i in range(0, self.nb_nodes, pad_chunk):
                 part = self.solid_limbs[i:i + pad_chunk]
                 npart = len(part)

@@ -35,8 +35,6 @@ class NodeGraphView:
     """
 
     def __init__(self, graph, chunk: int = 1 << 15):
-        from .unitigs import _cand_kernel
-
         self.graph = graph
         self.k = graph.kmer_size
         n = graph.nb_nodes
@@ -488,7 +486,10 @@ class UnitigJumpTraversal(MonumentTraversal):
                     # nodes ahead inside the unitig, in travel order
                     span = self._unodes[self._uoff[u]:self._uoff[u + 1]]
                     ahead = span[pos + 1:] if fwd else span[pos - 1::-1]
-                    if not marks[ahead].any():
+                    # jump only within the max_len budget (the per-kmer
+                    # oracle stops exactly at max_len on simple paths)
+                    if len(path) + len(ahead) <= max_len \
+                            and not marks[ahead].any():
                         seq = self._useq(u)
                         if fwd:
                             bases = seq[pos + k:]

@@ -176,7 +176,7 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
 
 def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                   adjacency: np.ndarray, k: int,
-                  chunk: int = 1 << 15, mesh=None,
+                  chunk: int | None = None, mesh=None,
                   precomputed=None) -> UnitigSet:
     """Compact the solid-kmer graph into unitigs (bcalm2+bglue+links
     equivalent, UnitigsConstructionAlgorithm.cpp:90-117). With ``mesh``,
@@ -207,6 +207,8 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
         cand_ranks = np.zeros((n, 8), np.int32)
         cand_flip = np.zeros((n, 8), np.int8)
         csize = min(sweep_chunk(n), len(ptab))
+        if chunk:   # caller-imposed device-memory bound
+            csize = min(csize, chunk)
         for i in range(0, n, csize):
             part = solid_limbs[i:i + csize]
             npart = len(part)
@@ -313,35 +315,34 @@ def _cand_kernel(k: int, n_table: int, chunk: int):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _cand_ranks_flips(nodes, table, n_table, k: int):
-    if True:
-        cands = neighbor_candidates(nodes, k)   # (C, 8, W)
-        c, _, w = cands.shape
-        flat = cands.reshape(c * 8, w)
-        # sort-join ranks (ops/sortops.rank_join): bcalm2's candidate
-        # lookups without the log(n)-gathers-per-query binary search
-        from ..ops.sortops import rank_join_traced
+    cands = neighbor_candidates(nodes, k)   # (C, 8, W)
+    c, _, w = cands.shape
+    flat = cands.reshape(c * 8, w)
+    # sort-join ranks (ops/sortops.rank_join): bcalm2's candidate
+    # lookups without the log(n)-gathers-per-query binary search
+    from ..ops.sortops import rank_join_traced
 
-        pos, found = rank_join_traced(table, flat, n_table)
-        ranks = jnp.where(found, pos, -1).reshape(c, 8).astype(I32)
-        # strand of the neighbor: candidate equals its canonical form iff
-        # the extension's forward form == canonical; flip=1 otherwise.
-        # Out-candidates (slots 0-3): fwd ext = (f<<2)|nt — flip if
-        # canonical(ext) != fwd ext. In-candidates: fwd ext = (f>>2)|nt<<..
-        from ..ops.neighbor_ops import shl2_or, shr2_or_top, revcomp_limbs
-        f = nodes
-        r = revcomp_limbs(nodes, k)
-        flips = []
-        U32 = jnp.uint32
-        for nt in range(4):
-            cnt = jnp.full((c,), nt, U32)
-            fwd = shl2_or(f, cnt, k)
-            flips.append(jnp.any(fwd != cands[:, nt], axis=-1))
-        for nt in range(4):
-            cnt = jnp.full((c,), nt, U32)
-            fwd = shr2_or_top(f, cnt, k)
-            flips.append(jnp.any(fwd != cands[:, 4 + nt], axis=-1))
-        flip = jnp.stack(flips, axis=1).astype(jnp.int8)
-        return ranks, flip
+    pos, found = rank_join_traced(table, flat, n_table)
+    ranks = jnp.where(found, pos, -1).reshape(c, 8).astype(I32)
+    # strand of the neighbor: candidate equals its canonical form iff
+    # the extension's forward form == canonical; flip=1 otherwise.
+    # Out-candidates (slots 0-3): fwd ext = (f<<2)|nt — flip if
+    # canonical(ext) != fwd ext. In-candidates: fwd ext = (f>>2)|nt<<..
+    from ..ops.neighbor_ops import shl2_or, shr2_or_top, revcomp_limbs
+    f = nodes
+    r = revcomp_limbs(nodes, k)
+    flips = []
+    U32 = jnp.uint32
+    for nt in range(4):
+        cnt = jnp.full((c,), nt, U32)
+        fwd = shl2_or(f, cnt, k)
+        flips.append(jnp.any(fwd != cands[:, nt], axis=-1))
+    for nt in range(4):
+        cnt = jnp.full((c,), nt, U32)
+        fwd = shr2_or_top(f, cnt, k)
+        flips.append(jnp.any(fwd != cands[:, 4 + nt], axis=-1))
+    flip = jnp.stack(flips, axis=1).astype(jnp.int8)
+    return ranks, flip
 
 
 class PackedSequences:

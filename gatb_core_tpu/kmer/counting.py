@@ -661,6 +661,9 @@ class SortingCount(Algorithm):
                            cfg)
 
 
+_SYNC_UB_ROWS = 1 << 24
+
+
 def _merge_smallest_pair(lst) -> None:
     """Merge the two smallest device tables of `lst` in place (one
     bitonic merge level + reduce, ops/sortops.merge_tables_planes) —
@@ -669,9 +672,13 @@ def _merge_smallest_pair(lst) -> None:
     Entries are (planes, counts, n, ub): n may be a DEVICE scalar (no
     host sync on the merge path — each int(n) fetch costs a ~24 ms
     tunnel round trip); ub is a host-known upper bound that sizes merge
-    capacities (<= 2x the exact size, so HBM stays bounded). Rows past n
-    are all-ones sentinels (the compaction pads with them), so chained
-    merges mask them without trimming."""
+    capacities. ua+ub gives high-overlap merges NO dedup credit, so a
+    pass's chained merges would grow caps toward the pass's TOTAL rows
+    (the r4 stress cold run OOM'd HBM at a 2^29-row merge this way);
+    once the bound crosses _SYNC_UB_ROWS the exact n is fetched (one
+    ~24 ms round trip, negligible at that scale) and becomes the bound.
+    Rows past n are all-ones sentinels (the compaction pads with them),
+    so chained merges mask them without trimming."""
     from ..ops.sortops import merge_tables_planes
 
     lst.sort(key=lambda t: t[3])
@@ -681,7 +688,10 @@ def _merge_smallest_pair(lst) -> None:
         pa, jnp.asarray(ca), _as_i32(na),
         pb, jnp.asarray(cb), _as_i32(nb), cap_out=cap_out)
     del lst[:2]
-    lst.append((planes, counts, n, ua + ub))
+    ub_new = ua + ub
+    if ub_new >= _SYNC_UB_ROWS:
+        ub_new = int(jax.device_get(n))
+    lst.append((planes, counts, n, ub_new))
 
 
 def _as_i32(n):

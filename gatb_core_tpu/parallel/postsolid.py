@@ -169,7 +169,7 @@ def exchange_rank(queries: jnp.ndarray, table_loc: jnp.ndarray,
     return (granks[:q].astype(I32), founds[:q] != 0, n_over)
 
 
-def _table_specs(w):
+def _table_specs():
     d = P(DATA_AXIS)
     return (P(DATA_AXIS, None, None), d, d, P())
 
@@ -193,7 +193,7 @@ def _adjacency_dispatch(rows, tab, n_loc, base, bounds, *, mesh, k: int,
         return mask, ovf.reshape(1)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(DATA_AXIS, None),) + _table_specs(None),
+                   in_specs=(P(DATA_AXIS, None),) + _table_specs(),
                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
     return fn(rows, tab, n_loc, base, bounds)
 
@@ -246,7 +246,7 @@ def _debloom_dispatch(rows, tab, n_loc, base, bounds, bloom_words, *,
         return hit.reshape(r, 8), cands, ovf.reshape(1)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(DATA_AXIS, None),) + _table_specs(None)
+                   in_specs=(P(DATA_AXIS, None),) + _table_specs()
                    + (P(),),
                    out_specs=(P(DATA_AXIS, None),
                               P(DATA_AXIS, None, None), P(DATA_AXIS)))
@@ -321,7 +321,7 @@ def _cand_rank_dispatch(rows, tab, n_loc, base, bounds, *, mesh, k: int,
         return ranks, flip, ovf.reshape(1)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(DATA_AXIS, None),) + _table_specs(None),
+                   in_specs=(P(DATA_AXIS, None),) + _table_specs(),
                    out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
                               P(DATA_AXIS)))
     return fn(rows, tab, n_loc, base, bounds)

@@ -454,10 +454,12 @@ def load_mphf(storage: Storage, solid_limbs: np.ndarray | None = None,
         dsk = storage.group("dsk") if "dsk" in storage else None
         if dsk is not None and "mphf" in dsk and solid_limbs is not None \
                 and kmer_size is not None and len(solid_limbs):
-            from ..collections.boophf_ref import RefBooPHF, RefMPHFAdapter
+            from ..collections.boophf_ref import (RefBooPHF,
+                                                  RefMPHFAdapter,
+                                                  ref_key_words)
 
             data = dsk.istream("mphf").read()
-            w64 = (solid_limbs.shape[1] + 1) // 2
+            w64 = ref_key_words(kmer_size)
             try:
                 ref = RefBooPHF.from_bytes(data, w64)
                 return RefMPHFAdapter(ref, solid_limbs, kmer_size), None

@@ -85,6 +85,29 @@ def test_against_reference_binary(tmp_path):
                           timeout=60)
     assert out2.stdout == out.stdout             # ref binary loads ours
 
+    # 16-byte keys (the k>32 LargeInt<2> path: distinct jenkins tail)
+    keys2 = np.unique(rng.integers(0, 2**63, size=(8000, 2),
+                                   dtype=np.uint64), axis=0)
+    k2f = str(tmp_path / "k2.u64")
+    keys2.tofile(k2f)
+    ref2 = str(tmp_path / "ref2.mphf")
+    subprocess.run([exe, "save2", k2f, ref2], check=True, timeout=60)
+    ours2 = RefBooPHF.build(keys2)
+    assert ours2.to_bytes() == open(ref2, "rb").read()
+    q2 = np.concatenate([keys2[rng.integers(0, len(keys2), 300)],
+                         rng.integers(0, 2**63, size=(100, 2),
+                                      dtype=np.uint64)])
+    q2f = str(tmp_path / "q2.u64")
+    q2.tofile(q2f)
+    out3 = subprocess.run([exe, "lookup2", q2f, ref2],
+                          capture_output=True, text=True, check=True,
+                          timeout=60)
+    want2 = np.array([int(x) for x in out3.stdout.split()], np.uint64)
+    got2 = ours2.lookup(q2)
+    got2u = np.where(got2 < 0, np.uint64(2**64 - 1),
+                     got2.astype(np.uint64))
+    assert (got2u == want2).all()
+
 
 def test_graph_h5_mphf_interop(tmp_path):
     """Our .h5 carries /dsk/mphf in the reference format; a Graph.load

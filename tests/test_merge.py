@@ -91,3 +91,43 @@ def test_from_count_batch():
         jnp.asarray(np.stack(ks)), jnp.asarray(np.stack(cs)), cap=4096)
     assert not bool(ov)
     assert _table_dict(merged, w) == truth
+
+
+def test_merge_ub_sync_bounds_caps(monkeypatch):
+    """Chained high-overlap merges must not let the ub bound (and so the
+    next merge capacity) grow toward the total-row sum: past the sync
+    threshold the exact n is fetched and becomes the bound (the r4
+    stress OOM regression)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gatb_core_tpu.kmer import counting as C
+
+    monkeypatch.setattr(C, "_SYNC_UB_ROWS", 64)
+    w = 2
+    rng = np.random.default_rng(0)
+    base = np.unique(rng.integers(0, 2**31, size=(50, w)).astype(np.uint32),
+                     axis=0)
+    order = np.lexsort((base[:, 1], base[:, 0]))
+    base = base[order]
+
+    def table(rows):
+        cap = 64
+        pk = [np.full(cap, 0xFFFFFFFF, np.uint32) for _ in range(w)]
+        pc = np.zeros(cap, np.int32)
+        for j in range(w):
+            pk[j][:len(rows)] = rows[:, j]
+        pc[:len(rows)] = 1
+        return (tuple(jnp.asarray(p) for p in pk), jnp.asarray(pc),
+                len(rows), len(rows))
+
+    # three highly-overlapping tables: each merge's union stays ~50 rows
+    lst = [table(base), table(base), table(base[:40])]
+    C._merge_smallest_pair(lst)
+    C._merge_smallest_pair(lst)
+    planes, counts, n, ub = lst[0]
+    # bound collapsed to the exact distinct count, not the 140-row sum
+    assert ub == len(base)
+    assert int(np.asarray(n)) == len(base)
+    total = int(np.asarray(counts).sum())
+    assert total == 140  # 50 + 50 + 40 occurrences survive the reduce

@@ -92,6 +92,26 @@ struct hasher_t {
 };
 typedef boomphf::mphf<uint64_t, hasher_t> boophf_t;
 
+// 16-byte key (the k>32 LargeInt<2> layout: low word first)
+struct K2 { uint64_t lo, hi;
+    bool operator==(const K2 &o) const { return lo == o.lo && hi == o.hi; }
+};
+namespace std { template<> struct hash<K2> {
+    size_t operator()(const K2 &k) const {
+        return hash<uint64_t>()(k.lo) ^ (hash<uint64_t>()(k.hi) << 1); }
+}; }
+struct hasher2_t {
+    jenkins64_hasher emphf_hasher;
+    hasher2_t() { std::mt19937_64 rng(37); emphf_hasher.m_seed = rng(); }
+    uint64_t operator()(const K2 &key, uint64_t seed = 0) const {
+        byte_range_t r((const uint8_t*)&key, (const uint8_t*)&key + 16);
+        if (seed != 0x33333333CCCCCCCCULL)
+            return std::get<0>(emphf_hasher(r));
+        return std::get<2>(emphf_hasher(r));
+    }
+};
+typedef boomphf::mphf<K2, hasher2_t> boophf2_t;
+
 static std::vector<uint64_t> read_u64(const char* path) {
     std::ifstream f(path, std::ios::binary);
     f.seekg(0, std::ios::end); size_t n = (size_t)f.tellg() / 8;
@@ -99,13 +119,31 @@ static std::vector<uint64_t> read_u64(const char* path) {
     f.read((char*)v.data(), n * 8); return v;
 }
 
+static std::vector<K2> read_k2(const char* path) {
+    std::ifstream f(path, std::ios::binary);
+    f.seekg(0, std::ios::end); size_t n = (size_t)f.tellg() / 16;
+    f.seekg(0); std::vector<K2> v(n);
+    f.read((char*)v.data(), n * 16); return v;
+}
+
 int main(int argc, char** argv) {
-    if (argc < 4) { fprintf(stderr, "usage: save|lookup ...\n"); return 1; }
+    if (argc < 4) { fprintf(stderr, "usage: save|lookup|save2|lookup2\n"); return 1; }
     if (!strcmp(argv[1], "save")) {
         auto keys = read_u64(argv[2]);
         boophf_t bphf(keys.size(), keys, 1, 3.0, false);
         std::ofstream os(argv[3], std::ios::binary);
         bphf.save(os);
+    } else if (!strcmp(argv[1], "save2")) {
+        auto keys = read_k2(argv[2]);
+        boophf2_t bphf(keys.size(), keys, 1, 3.0, false);
+        std::ofstream os(argv[3], std::ios::binary);
+        bphf.save(os);
+    } else if (!strcmp(argv[1], "lookup2")) {
+        boophf2_t bphf;
+        std::ifstream is(argv[3], std::ios::binary);
+        bphf.load(is);
+        auto q = read_k2(argv[2]);
+        for (auto k : q) printf("%llu\n", (unsigned long long)bphf.lookup(k));
     } else {
         boophf_t bphf;
         std::ifstream is(argv[3], std::ios::binary);
