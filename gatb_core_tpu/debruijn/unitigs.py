@@ -129,15 +129,32 @@ def _indegree_oriented(adj: np.ndarray) -> np.ndarray:
     return deg
 
 
+def _pad_self(parent: np.ndarray):
+    """Pad a parent array to pow2 with self-loop sentinels so the
+    doubling programs compile once per capacity bucket (r4: shape drift
+    across simplify recompactions caused hundreds of recompiles)."""
+    m = len(parent)
+    cap = 1
+    while cap < max(m, 2):
+        cap <<= 1
+    if cap == m:
+        return parent, m
+    out = np.empty(cap, parent.dtype)
+    out[:m] = parent
+    out[m:] = np.arange(m, cap)
+    return out, m
+
+
 def _pointer_double(parent: np.ndarray):
     """List ranking: returns (root, rank) after full pointer doubling.
 
     parent[v] == v marks a head. Cycles must have been cut beforehand.
     """
-    m = len(parent)
+    parent, m = _pad_self(np.asarray(parent))
     parent = jnp.asarray(parent, I32)
-    rank = jnp.where(parent == jnp.arange(m, dtype=I32), 0, 1).astype(I32)
-    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+    cap = parent.shape[0]
+    rank = jnp.where(parent == jnp.arange(cap, dtype=I32), 0, 1).astype(I32)
+    rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
 
     def body(_, state):
         par, rk = state
@@ -146,15 +163,17 @@ def _pointer_double(parent: np.ndarray):
         return par, rk
 
     parent, rank = jax.lax.fori_loop(0, rounds, body, (parent, rank))
-    return np.asarray(parent), np.asarray(rank)
+    return np.asarray(parent)[:m], np.asarray(rank)[:m]
 
 
 def _cut_cycles(parent: np.ndarray) -> np.ndarray:
     """Cut each pure cycle at its minimal member (deterministic)."""
     m = len(parent)
-    par = jnp.asarray(parent, I32)
-    minid = jnp.arange(m, dtype=I32)
-    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+    par_p, _ = _pad_self(np.asarray(parent))
+    par = jnp.asarray(par_p, I32)
+    cap = par.shape[0]
+    minid = jnp.arange(cap, dtype=I32)
+    rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
 
     def body(_, state):
         par, mn = state
@@ -163,8 +182,8 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
         return par, mn
 
     roots, minid = jax.lax.fori_loop(0, rounds, body, (par, minid))
-    roots = np.asarray(roots)
-    minid = np.asarray(minid)
+    roots = np.asarray(roots)[:m]
+    minid = np.asarray(minid)[:m]
     # a node is in a cycle iff its final root is not a head
     is_head = parent == np.arange(m)
     cyclic = ~is_head[roots]
@@ -177,7 +196,7 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
 def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                   adjacency: np.ndarray, k: int,
                   chunk: int | None = None, mesh=None,
-                  precomputed=None) -> UnitigSet:
+                  precomputed=None, lazy_sequences: bool = False) -> UnitigSet:
     """Compact the solid-kmer graph into unitigs (bcalm2+bglue+links
     equivalent, UnitigsConstructionAlgorithm.cpp:90-117). With ``mesh``,
     the candidate-rank sweep and the list-ranking rounds run sharded
@@ -288,8 +307,15 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
     # --- emit sequences -------------------------------------------------
     nb_unitigs = int(keep_chain.sum())
     lengths = counts_per_chain[keep_chain]
-    seqs = _emit_sequences(solid_limbs, k, node_unitig, node_pos,
-                           node_strand, nb_unitigs, lengths)
+    if lazy_sequences:
+        seqs = LazySequences(
+            lambda nu=node_unitig.copy(), npos=node_pos.copy(),
+            nstr=node_strand.copy(): _emit_sequences(
+                solid_limbs, k, nu, npos, nstr, nb_unitigs, lengths),
+            lengths + k - 1)
+    else:
+        seqs = _emit_sequences(solid_limbs, k, node_unitig, node_pos,
+                               node_strand, nb_unitigs, lengths)
 
     # --- abundance ------------------------------------------------------
     kmer_counts = np.zeros(nb_unitigs, np.int64)
@@ -415,6 +441,40 @@ class PackedSequences:
         return list(self) == list(other)
 
 
+class LazySequences:
+    """Deferred `_emit_sequences`: serves lengths immediately (unitig
+    base length = nk + k - 1, no decode needed) and materializes the
+    PackedSequences blob on first element access. Simplify's tip/EC/
+    bulge passes never spell sequences, so their 19 recompactions skip
+    the emit entirely (r4: ~11 s of a 44 s reads3 simplify)."""
+
+    def __init__(self, emit, lengths):
+        self._emit = emit
+        self._lengths = np.asarray(lengths, np.int64)
+        self._mat = None
+
+    def _materialize(self):
+        if self._mat is None:
+            self._mat = self._emit()
+            self._emit = None
+        return self._mat
+
+    def lengths(self) -> np.ndarray:
+        return self._lengths
+
+    def __len__(self) -> int:
+        return len(self._lengths)
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+
 def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
                     nb_unitigs, lengths):
     """Assemble unitig strings on host from per-node assignments.
@@ -459,7 +519,12 @@ def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
 
         hl = limbs[head_sel]
         hs = strands[head_sel]
-        rc = np.asarray(revcomp_limbs(jnp.asarray(hl), k))
+        hcap = 1
+        while hcap < len(hl):
+            hcap <<= 1
+        hpad = np.zeros((hcap, hl.shape[1]), hl.dtype)
+        hpad[:len(hl)] = hl
+        rc = np.asarray(revcomp_limbs(jnp.asarray(hpad), k))[:len(hl)]
         ol = np.where(hs[:, None] == 0, hl, rc)       # oriented limbs
         base = offsets[uids[head_sel]]
         w32 = ol.shape[1]

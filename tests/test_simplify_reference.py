@@ -180,8 +180,8 @@ def test_simplify_reads3_scale(test_db):
     ours 548,294 vs ref 548,968 survivors; diff 1081/1755 — equal-
     coverage tie order and the reference's cached-non-simple-node
     iteration in later passes are not reproducible bit-for-bit).
-    Wall-clock: 41 s on the 2-core host (r4 incremental recompaction —
-    was 505 s in r3)."""
+    Wall-clock: 32 s on the 2-core host (r4 incremental recompaction +
+    lazy sequence emission — was 505 s in r3)."""
     fasta = _gunzip(test_db)
     ref = _kmer_set(_ref_surviving(fasta, 21, 2, "all"), 21)
     ours = _our_surviving(fasta, 21, 2)
