@@ -370,6 +370,10 @@ class SortingCount(Algorithm):
         inside_scalars: list = []
         nb_seq = 0
         seq_total_size = 0
+        # BankStats block (SortingCountAlgorithm.cpp:735-742)
+        seq_min = [-1]
+        seq_max = [0]
+        seq_sumsq = [0.0]
         spare = (2 * k) % 32 != 0
         nb_passes = max(1, int(cfg.nb_passes))
         native_paths = _native_fastx_paths(bank)
@@ -397,9 +401,14 @@ class SortingCount(Algorithm):
                     for batch in it:
                         yield batch
                     if count_stats:
-                        s_n, s_t = nat.stats()
+                        s_n, s_t, s_mn, s_mx, s_sq = nat.stats_full()
                         nb_seq += s_n
                         seq_total_size += s_t
+                        if s_n:
+                            seq_min[0] = s_mn if seq_min[0] < 0 \
+                                else min(seq_min[0], s_mn)
+                            seq_max[0] = max(seq_max[0], s_mx)
+                            seq_sumsq[0] += s_sq
             else:
                 from ..ops.bitpack import pack_batch_np
 
@@ -413,7 +422,12 @@ class SortingCount(Algorithm):
                 for seq in bank:
                     if count_stats:
                         nb_seq += 1
-                        seq_total_size += len(seq)
+                        L = len(seq)
+                        seq_total_size += L
+                        seq_min[0] = L if seq_min[0] < 0 \
+                            else min(seq_min[0], L)
+                        seq_max[0] = max(seq_max[0], L)
+                        seq_sumsq[0] += float(L) * L
                     for batch in builder.add(seq.data):
                         yield emit(batch)
                 if builder.row:
@@ -637,6 +651,15 @@ class SortingCount(Algorithm):
             "kmers_nb_invalid": int(kmers_nb_invalid),
             "sequences_number": int(nb_seq),
             "sequences_size": int(seq_total_size),
+            # seq_size_* (BankStats, SortingCountAlgorithm.cpp:735-742)
+            "seq_size_min": int(max(seq_min[0], 0)),
+            "seq_size_max": int(seq_max[0]),
+            "seq_size_mean": round(seq_total_size / nb_seq, 1)
+            if nb_seq else 0.0,
+            "seq_size_deviation": round(
+                max(seq_sumsq[0] / nb_seq
+                    - (seq_total_size / nb_seq) ** 2, 0.0) ** 0.5, 1)
+            if nb_seq else 0.0,
             "kmer_size": k,
             "abundance_min": amin,
             "abundance_max": amax,

@@ -65,6 +65,11 @@ def get_lib():
         lib.fastx_stats.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.POINTER(ctypes.c_int64)]
+        lib.fastx_stats_full.restype = None
+        lib.fastx_stats_full.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double)]
         lib.fastx_close.restype = None
         lib.fastx_close.argtypes = [ctypes.c_void_p]
         lib.fastx_open_reader.restype = ctypes.c_void_p
@@ -148,9 +153,27 @@ class NativeBatcher:
             self._stats = (nb.value, total.value)
         return self._stats
 
+    def stats_full(self) -> tuple[int, int, int, int, float]:
+        """(nb, total, min_len, max_len, sumsq) — the BankStats block
+        (seq_size_min/max/mean/deviation, SortingCountAlgorithm.cpp:
+        735-742)."""
+        if self._h:
+            nb = ctypes.c_int64()
+            total = ctypes.c_int64()
+            mn = ctypes.c_int64()
+            mx = ctypes.c_int64()
+            sq = ctypes.c_double()
+            self._lib.fastx_stats_full(
+                self._h, ctypes.byref(nb), ctypes.byref(total),
+                ctypes.byref(mn), ctypes.byref(mx), ctypes.byref(sq))
+            self._stats_full = (nb.value, total.value, mn.value, mx.value,
+                                sq.value)
+        return getattr(self, "_stats_full", (0, 0, 0, 0, 0.0))
+
     def close(self):
         if self._h:
             self.stats()
+            self.stats_full()    # cache before the handle is freed
             self._lib.fastx_close(self._h)
             self._h = None
 

@@ -152,6 +152,8 @@ struct Batcher {
   FastxReader reader;
   int k, B, L;
   int64_t nb_seqs = 0, total_size = 0;
+  int64_t min_len = -1, max_len = 0;
+  double sumsq = 0.0;   // for seq_size_deviation (BankStats equivalent)
   std::string carry;    // current sequence being split
   size_t carry_pos = 0;
   bool carry_active = false, done = false;
@@ -171,7 +173,13 @@ struct Batcher {
           break;
         }
         nb_seqs++;
-        total_size += (int64_t)carry.size();
+        {
+          int64_t L = (int64_t)carry.size();
+          total_size += L;
+          if (min_len < 0 || L < min_len) min_len = L;
+          if (L > max_len) max_len = L;
+          sumsq += (double)L * (double)L;
+        }
         carry_pos = 0;
         carry_active = true;
       }
@@ -217,7 +225,13 @@ struct Batcher {
           break;
         }
         nb_seqs++;
-        total_size += (int64_t)carry.size();
+        {
+          int64_t L = (int64_t)carry.size();
+          total_size += L;
+          if (min_len < 0 || L < min_len) min_len = L;
+          if (L > max_len) max_len = L;
+          sumsq += (double)L * (double)L;
+        }
         carry_pos = 0;
         carry_active = true;
       }
@@ -287,6 +301,17 @@ void fastx_stats(void* h, int64_t* nb_seqs, int64_t* total_size) {
   Batcher* b = static_cast<Batcher*>(h);
   *nb_seqs = b->nb_seqs;
   *total_size = b->total_size;
+}
+
+// Full BankStats block (SortingCountAlgorithm.cpp:735-742 equivalents)
+void fastx_stats_full(void* h, int64_t* nb_seqs, int64_t* total_size,
+                      int64_t* min_len, int64_t* max_len, double* sumsq) {
+  Batcher* b = static_cast<Batcher*>(h);
+  *nb_seqs = b->nb_seqs;
+  *total_size = b->total_size;
+  *min_len = b->min_len < 0 ? 0 : b->min_len;
+  *max_len = b->max_len;
+  *sumsq = b->sumsq;
 }
 
 void fastx_close(void* h) { delete static_cast<Batcher*>(h); }

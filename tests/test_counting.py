@@ -143,3 +143,18 @@ def test_high_abundance_counts_exact():
     for km, c in exp.items():
         assert got[tuple(py_to_limbs([km], 21)[0])] == c
     assert max(exp.values()) >= 255  # the exception path actually ran
+
+
+def test_bank_stats_block():
+    """seq_size_min/max/mean/deviation (the BankStats block the reference
+    emits, SortingCountAlgorithm.cpp:735-742) — independently verified
+    against a plain parse of reads1.fa."""
+    from gatb_core_tpu.kmer.counting import count_kmers
+
+    res = count_kmers("/root/reference/gatb-core/test/db/reads1.fa",
+                      kmer_size=31, abundance_min=3)
+    assert res.info["sequences_number"] == 100
+    assert res.info["seq_size_min"] == 388
+    assert res.info["seq_size_max"] == 1036
+    assert res.info["seq_size_mean"] == 946.1
+    assert res.info["seq_size_deviation"] == 91.7
