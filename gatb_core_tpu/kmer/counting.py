@@ -71,6 +71,12 @@ class CountConfig:
     # blocked two-level compaction in the superbatch reduce (sortops
     # count_planes(blocked=True)); overflow-flag guarded either way
     blocked_compaction: bool = True
+    # multi-pass device-resident bank cache budget (bytes): pass 0's
+    # staged packed read arrays are kept on device and re-dispatched by
+    # later passes (every pass streams the same reads; the filter is
+    # on-device) — saves a full re-parse + re-upload per extra pass.
+    # 0 disables; the cache auto-drops beyond the budget.
+    bank_cache_bytes: int = 2 << 30
     # initial distinct/total ratio guess sizing the FIRST superbatch's
     # table capacity (the reference sizes from the configuration plan's
     # distinct-kmer estimate, ConfigurationAlgorithm.cpp:308; callers
@@ -462,6 +468,15 @@ class SortingCount(Algorithm):
                             verbose=cfg.verbose > 0)
 
         pending: list = []  # dispatched superbatches awaiting resolution
+        # multi-pass device-resident bank cache: every DSK pass streams
+        # the SAME packed reads (the pass filter is on-device), so pass 0
+        # keeps its staged device arrays and later passes dispatch off
+        # them — no re-parse, no re-upload (at stress scale the packed
+        # bank is ~250 MB vs ~20 s of parse + link per extra pass).
+        # Budget-gated: the cache is dropped the moment it would exceed
+        # cfg.bank_cache_bytes of HBM.
+        bank_cache: list | None = [] if nb_passes > 1 else None
+        cache_bytes = [0]
 
         def resolve(item):
             """Sync point of one superbatch: overflow check (+ exact rerun
@@ -522,6 +537,15 @@ class SortingCount(Algorithm):
                 codes = jnp.asarray(np.stack([b[0] for b in group]))
                 valid = jnp.asarray(np.stack([b[1] for b in group]))
                 lengths = jnp.asarray(np.stack([b[2] for b in group]))
+            nonlocal_cache = bank_cache
+            if nonlocal_cache is not None and pass_i == 0:
+                nb = codes.nbytes + valid.nbytes + lengths.nbytes
+                if cache_bytes[0] + nb <= cfg.bank_cache_bytes:
+                    nonlocal_cache.append((codes, valid, lengths))
+                    cache_bytes[0] += nb
+                else:           # budget exceeded: drop the whole cache
+                    nonlocal_cache.clear()
+                    drop_cache()
             rows = codes.shape[0] * rows_per_batch
             # distinct-table capacity: coverage makes distinct << rows;
             # the ratio is learned from each superbatch's measured n/rows
@@ -545,11 +569,41 @@ class SortingCount(Algorithm):
             while len(pending) > (0 if n_resolved[0] == 0 else 2):
                 resolve(pending.pop(0))
 
+        def drop_cache():
+            nonlocal bank_cache
+            bank_cache = None
+
+        def dispatch_staged(codes, valid, lengths, pass_i):
+            """flush_group's tail for already-staged device arrays."""
+            rows = codes.shape[0] * rows_per_batch
+            cap_out = _next_pow2(max(
+                256, min(rows, int(rows * dedup_ratio["est"] * 1.5))))
+            out = _superbatch_count(
+                codes, valid, lengths, jnp.int32(pass_i),
+                k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                spare=spare, cap_out=cap_out, packed=packed,
+                L=builder.L if packed else None,
+                blocked=bool(cfg.blocked_compaction))
+            pending.append((out, rows, (codes, valid, lengths), pass_i,
+                            False, codes.shape[0]))
+            while len(pending) > 2:
+                resolve(pending.pop(0))
+
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
         # with minimizer % nb_passes == p; each pass streams the whole bank
         # and bounds live device memory to its own superbatch.
         for pass_i in range(nb_passes):
             first_pass = pass_i == 0
+            if not first_pass and bank_cache is not None:
+                for staged in bank_cache:      # device-resident reuse
+                    dispatch_staged(*staged, pass_i)
+                while pending:
+                    resolve(pending.pop(0))
+                with ti.section("3.merge"):
+                    lst = tables.get(pass_i, [])
+                    while len(lst) > 1:
+                        _merge_smallest_pair(lst)
+                continue
             group: list = []
             for batch in _prefetch(produce(first_pass), depth=4):
                 group.append(batch)

@@ -86,3 +86,26 @@ def test_repartitor_roundtrip(tmp_path):
         rep2 = Repartitor.load(st)
     assert (rep2.table == rep.table).all()
     assert rep2.nb_partitions == 4
+
+
+def test_bank_cache_pass_reuse_exact():
+    """Multi-pass counting with the device-resident bank cache must equal
+    the uncached run and the ground truth (r4: later passes dispatch off
+    pass 0's staged arrays)."""
+    import numpy as np
+
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.counting import SortingCount, CountConfig
+    from gatb_core_tpu.kmer.model import count_kmers_py
+
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), size=1200))
+    reads = [genome[s:s + 100] for s in rng.integers(0, 1100, size=150)]
+    base = dict(kmer_size=21, abundance_min=1, nb_passes=3,
+                batch_reads=32, batch_len=128, superbatch_rows=1 << 12)
+    r1 = SortingCount(CountConfig(**base)).execute(BankStrings(*reads))
+    r2 = SortingCount(CountConfig(**base, bank_cache_bytes=0)) \
+        .execute(BankStrings(*reads))
+    assert (r1.solid_kmers == r2.solid_kmers).all()
+    assert (r1.solid_counts == r2.solid_counts).all()
+    assert r1.as_dict() == count_kmers_py(reads, 21, abundance_min=1)
