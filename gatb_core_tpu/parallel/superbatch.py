@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, HOST_AXIS, CHIP_AXIS
 from ..ops.kmer_ops import extract_kmers, extract_kmers_packed, nb_limbs
 from ..ops.sortops import count_planes
 
@@ -129,7 +129,8 @@ def sample_range_bounds(bank, k: int, ndev: int, sample_reads: int = 4096,
 
 def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
                          cap_local: int, cap_send: int, cap_acc: int,
-                         packed: bool):
+                         packed: bool, exchange_axis: str = DATA_AXIS,
+                         shard_axes: tuple = None):
     """Build the jitted one-dispatch-per-superbatch exchange step.
 
     Returns fn(words, vmask, lengths, pass_i, bounds, acc_planes tuple,
@@ -137,8 +138,15 @@ def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
     scalars) where the acc arrays are (ndev*cap_acc,) sharded over the
     data axis and scalars = (any_overflow (), n_valid (ndev,),
     n_inside (ndev,), n_acc_after (ndev,)).
+
+    On a 2-D (host, chip) mesh the all-to-all exchange rides
+    ``exchange_axis`` (the intra-host ICI axis) — each host group
+    range-partitions ITS reads' kmers among its chips; overflow flags
+    psum over ALL ``shard_axes`` so the transactional retry stays
+    global. Cross-host merging happens at pass end (make_host_merge).
     """
-    ndev = mesh.shape[DATA_AXIS]
+    shard_axes = shard_axes or (exchange_axis,)
+    ndev = mesh.shape[exchange_axis]
     w = nb_limbs(k)
     spare = (2 * k) % 32 != 0
 
@@ -198,10 +206,10 @@ def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
                        for pl in padded], axis=-1)
             for o in range(ndev)])
 
-        # ---- all-to-all over the mesh -----------------------------------
-        recv = jax.lax.all_to_all(send, DATA_AXIS, 0, 0)
+        # ---- all-to-all over the ICI exchange axis ----------------------
+        recv = jax.lax.all_to_all(send, exchange_axis, 0, 0)
         recv_counts = jax.lax.all_to_all(
-            send_counts.reshape(ndev, 1), DATA_AXIS, 0, 0).reshape(ndev)
+            send_counts.reshape(ndev, 1), exchange_axis, 0, 0).reshape(ndev)
 
         # ---- merge received + carry (device-resident accumulator) ------
         rflat = recv.reshape(ndev * cap_send, w + 1)
@@ -221,9 +229,9 @@ def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
         # ---- transactional commit: abort the whole superbatch on ANY
         # overflow anywhere in the mesh (host retries with bigger caps;
         # the three flags tell it WHICH capacity to grow) ----------------
-        f_loc = jax.lax.psum(ovf_loc.astype(I32), DATA_AXIS) > 0
-        f_send = jax.lax.psum((n_over > 0).astype(I32), DATA_AXIS) > 0
-        f_acc = jax.lax.psum(ovf_acc.astype(I32), DATA_AXIS) > 0
+        f_loc = jax.lax.psum(ovf_loc.astype(I32), shard_axes) > 0
+        f_send = jax.lax.psum((n_over > 0).astype(I32), shard_axes) > 0
+        f_acc = jax.lax.psum(ovf_acc.astype(I32), shard_axes) > 0
         any_ovf = f_loc | f_send | f_acc
         out_p = tuple(jnp.where(any_ovf, a, b)
                       for a, b in zip(acc_planes, new_p))
@@ -233,11 +241,45 @@ def make_superbatch_step(mesh, *, k: int, m: int, nb_passes: int, L: int,
         return out_p + (out_c, out_n, flags.reshape(1, 3),
                         n_valid.reshape(1), n_inside.reshape(1))
 
-    dspec = P(DATA_AXIS)
-    in_specs = (P(None, DATA_AXIS, None), P(None, DATA_AXIS, None),
-                P(None, DATA_AXIS), P(), P()) + tuple([dspec] * (w + 2))
-    out_specs = tuple([dspec] * (w + 2)) + (P(DATA_AXIS, None), dspec, dspec)
+    ax = shard_axes if len(shard_axes) > 1 else shard_axes[0]
+    dspec = P(ax)
+    in_specs = (P(None, ax, None), P(None, ax, None),
+                P(None, ax), P(), P()) + tuple([dspec] * (w + 2))
+    out_specs = tuple([dspec] * (w + 2)) + (P(ax, None), dspec, dspec)
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return jax.jit(fn)
+
+
+def make_host_merge(mesh, *, w: int, cap_acc: int, cap_out: int):
+    """Pass-end cross-host reduce (the DCN collective of SURVEY §5.8):
+    every chip all-gathers the per-host tables OF ITS KEY RANGE over the
+    host axis and reduces them to one sorted distinct table — the merge
+    the reference does by concatenating per-thread partition files.
+    Output is replicated over hosts, sharded by chip. cap_out must be
+    >= nb_hosts * cap_acc (union <= sum, so this never overflows)."""
+    from ..ops.sortops import count_planes
+
+    def step(*acc):
+        acc_planes = acc[:w]
+        acc_counts = acc[w]
+        acc_n = acc[w + 1]                        # (1,)
+        gp = tuple(jax.lax.all_gather(p, HOST_AXIS, tiled=True)
+                   for p in acc_planes)           # (H*cap_acc,)
+        gc = jax.lax.all_gather(acc_counts, HOST_AXIS, tiled=True)
+        gn = jax.lax.all_gather(acc_n, HOST_AXIS, tiled=True)  # (H,)
+        H = gn.shape[0]
+        idx = jax.lax.broadcasted_iota(I32, (H, cap_acc), 1)
+        valid = (idx < gn[:, None]).reshape(-1)
+        out_p, out_c, n2, _ = count_planes(
+            gp, valid, weights=gc, spare_bits=True, cap_out=cap_out)
+        return out_p + (out_c, n2.reshape(1))
+
+    dspec = P((HOST_AXIS, CHIP_AXIS))
+    ospec = P(CHIP_AXIS)     # replicated over hosts
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=tuple([dspec] * (w + 2)),
+                   out_specs=tuple([ospec] * (w + 2)),
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -269,11 +311,28 @@ def count_kmers_distributed_superbatch(
     bank = open_bank(bank)
     k = kmer_size
     w = nb_limbs(k)
-    ndev = mesh.shape[DATA_AXIS]
+    axes = mesh.axis_names
+    two_d = HOST_AXIS in axes
+    if two_d:
+        # (host, chip): exchange rides the intra-host chip axis; hosts
+        # merge at pass end over the host axis (make_host_merge)
+        shard_axes = (HOST_AXIS, CHIP_AXIS)
+        exchange_axis = CHIP_AXIS
+        ndev = mesh.shape[CHIP_AXIS]              # exchange group size
+        nb_hosts = mesh.shape[HOST_AXIS]
+        ndev_total = nb_hosts * ndev
+        ax = shard_axes
+    else:
+        shard_axes = (DATA_AXIS,)
+        exchange_axis = DATA_AXIS
+        ndev = mesh.shape[DATA_AXIS]
+        nb_hosts = 1
+        ndev_total = ndev
+        ax = DATA_AXIS
     nb_passes = max(1, int(nb_passes))
-    dsh = NamedSharding(mesh, P(None, DATA_AXIS, None))
-    lsh = NamedSharding(mesh, P(None, DATA_AXIS))
-    ash = NamedSharding(mesh, P(DATA_AXIS))
+    dsh = NamedSharding(mesh, P(None, ax, None))
+    lsh = NamedSharding(mesh, P(None, ax))
+    ash = NamedSharding(mesh, P(ax))
     rsh = NamedSharding(mesh, P())
 
     bounds_np = sample_range_bounds(bank, k, ndev)
@@ -281,7 +340,7 @@ def count_kmers_distributed_superbatch(
                                         if ndev > 1 else
                                         np.zeros((0, w), np.uint32)), rsh)
 
-    Bg = batch_reads_per_device * ndev
+    Bg = batch_reads_per_device * ndev_total
     builder = _BatchBuilder(k, Bg, batch_len)
     L = builder.L
     rows_per_batch = Bg * (L - k + 1)
@@ -300,9 +359,10 @@ def count_kmers_distributed_superbatch(
 
     caps = {
         "local": _next_pow2(max(256, min(
-            rows_sb // ndev, int(rows_sb / ndev * distinct_ratio_hint * 2)))),
+            rows_sb // ndev_total,
+            int(rows_sb / ndev_total * distinct_ratio_hint * 2)))),
         "acc": _next_pow2(max(256, int(
-            est_distinct / max(1, nb_passes) / ndev * 1.5))),
+            est_distinct / max(1, nb_passes) / ndev_total * 1.5))),
     }
     caps["send"] = _next_pow2(max(
         64, int(caps["local"] / ndev * capacity_factor)))
@@ -315,29 +375,30 @@ def count_kmers_distributed_superbatch(
             steps[key] = make_superbatch_step(
                 mesh, k=k, m=minimizer_size, nb_passes=nb_passes, L=L,
                 cap_local=caps["local"], cap_send=caps["send"],
-                cap_acc=caps["acc"], packed=packed)
+                cap_acc=caps["acc"], packed=packed,
+                exchange_axis=exchange_axis, shard_axes=shard_axes)
         return steps[key]
 
     def fresh_carry():
         zp = tuple(jax.device_put(
-            jnp.full((ndev * caps["acc"],), U32(0xFFFFFFFF)), ash)
+            jnp.full((ndev_total * caps["acc"],), U32(0xFFFFFFFF)), ash)
             for _ in range(w))
-        zc = jax.device_put(jnp.zeros((ndev * caps["acc"],), I32), ash)
-        zn = jax.device_put(jnp.zeros((ndev,), I32), ash)
+        zc = jax.device_put(jnp.zeros((ndev_total * caps["acc"],), I32), ash)
+        zn = jax.device_put(jnp.zeros((ndev_total,), I32), ash)
         return zp + (zc, zn)
 
     def grow_carry(carry):
         """Double cap_acc, padding the live carry into the new capacity."""
-        old_cap = carry[0].shape[0] // ndev
+        old_cap = carry[0].shape[0] // ndev_total
         caps["acc"] = caps["acc"] * 2
         new = []
         for j in range(w):
-            arr = np.asarray(carry[j]).reshape(ndev, old_cap)
-            out = np.full((ndev, caps["acc"]), 0xFFFFFFFF, np.uint32)
+            arr = np.asarray(carry[j]).reshape(ndev_total, old_cap)
+            out = np.full((ndev_total, caps["acc"]), 0xFFFFFFFF, np.uint32)
             out[:, :old_cap] = arr
             new.append(jax.device_put(jnp.asarray(out.reshape(-1)), ash))
-        arr = np.asarray(carry[w]).reshape(ndev, old_cap)
-        out = np.zeros((ndev, caps["acc"]), np.int32)
+        arr = np.asarray(carry[w]).reshape(ndev_total, old_cap)
+        out = np.zeros((ndev_total, caps["acc"]), np.int32)
         out[:, :old_cap] = arr
         new.append(jax.device_put(jnp.asarray(out.reshape(-1)), ash))
         new.append(carry[w + 1])
@@ -418,13 +479,24 @@ def count_kmers_distributed_superbatch(
         if group:
             dispatch(group)
 
-        # ---- ONE host fetch per pass: concat per-device range tables ---
-        acc_n = np.asarray(carry[w + 1])
-        cap_acc = caps["acc"]
+        # ---- pass end: cross-host DCN merge (2-D), then ONE host fetch
+        # of the concatenated per-range tables ---------------------------
+        if two_d:
+            cap_out = _next_pow2(nb_hosts * caps["acc"])
+            hm = make_host_merge(mesh, w=w, cap_acc=caps["acc"],
+                                 cap_out=cap_out)
+            merged = hm(*carry)
+            acc_n = np.asarray(merged[w + 1])     # (chips,)
+            kplanes = [np.asarray(merged[j]).reshape(ndev, cap_out)
+                       for j in range(w)]
+            kcounts = np.asarray(merged[w]).reshape(ndev, cap_out)
+        else:
+            acc_n = np.asarray(carry[w + 1])
+            cap_acc = caps["acc"]
+            kplanes = [np.asarray(carry[j]).reshape(ndev, cap_acc)
+                       for j in range(w)]
+            kcounts = np.asarray(carry[w]).reshape(ndev, cap_acc)
         segs_k, segs_c = [], []
-        kplanes = [np.asarray(carry[j]).reshape(ndev, cap_acc)
-                   for j in range(w)]
-        kcounts = np.asarray(carry[w]).reshape(ndev, cap_acc)
         for d in range(ndev):
             n_d = int(acc_n[d])
             segs_k.append(np.stack([kplanes[j][d, :n_d]

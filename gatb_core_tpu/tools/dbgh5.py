@@ -128,6 +128,21 @@ def main(argv=None) -> int:
     # costs ~32 B/row (limb planes + validity + sort temporaries)
     superbatch_rows = min(1 << 24,
                           max(1 << 16, args.max_memory * (1 << 20) // 32))
+    # size the batch row length from the bank's sampled max read length
+    # (r4): a short-read bank padded to the default 256 columns wastes
+    # ~40% of the sort rows on invalid padding WINDOWS (rows = L-k+1 per
+    # read incl. padding) and ~40% of the packed upload; longer reads
+    # still split with k-1 overlap, so any L >= 2k is window-exact
+    batch_len = 256
+    try:
+        from ..bank.fasta import open_bank as _ob
+
+        _, _, mx = _ob(args.input).estimate()
+        if mx:
+            batch_len = max(2 * args.kmer_size,
+                            min(256, ((mx + 31) // 32) * 32))
+    except (ValueError, OSError):
+        pass
 
     t0 = time.time()
     graph = Graph.create(
@@ -135,7 +150,7 @@ def main(argv=None) -> int:
         abundance_max=args.abundance_max,
         minimizer_size=args.minimizer_size, output=out,
         histo_max=args.histo_max, nb_passes=nb_passes,
-        superbatch_rows=superbatch_rows,
+        superbatch_rows=superbatch_rows, batch_len=batch_len,
         bloom_kind=args.bloom, debloom_kind=args.debloom,
         mphf_kind=args.mphf,
         build_branching=args.branching != "none")

@@ -116,3 +116,29 @@ def test_full_graph_build_on_mesh(fixture):
     g1.simplify()
     g2.simplify()
     assert (g1.node_state == g2.node_state).all()
+
+
+def test_2d_mesh_counting_equals_single_device():
+    """(host, chip) mesh: exchange over the intra-host chip (ICI) axis,
+    pass-end cross-host merge over the host (DCN) axis
+    (parallel/superbatch.make_host_merge) — equal to the single-device
+    count on a 2x4 mesh, multi-pass."""
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.counting import count_kmers
+    from gatb_core_tpu.kmer.model import count_kmers_py
+    from gatb_core_tpu.parallel.mesh import make_mesh2d
+    from gatb_core_tpu.parallel.superbatch import \
+        count_kmers_distributed_superbatch
+    from gatb_core_tpu.ops.kmer_ops import kmers_to_py
+
+    rng = np.random.default_rng(23)
+    genome = "".join(rng.choice(list("ACGT"), size=1500))
+    reads = [genome[s:s + 90] for s in rng.integers(0, 1400, size=160)]
+    reads.append("ACGTN" * 18)
+    mesh = make_mesh2d(2, 4)
+    res = count_kmers_distributed_superbatch(
+        BankStrings(*reads), mesh, kmer_size=21, abundance_min=1,
+        nb_passes=2, batch_reads_per_device=8, capacity_factor=0.75)
+    exp = count_kmers_py(reads, 21, abundance_min=1)
+    got = dict(zip(kmers_to_py(res.solid_kmers), res.solid_counts.tolist()))
+    assert got == exp, (len(got), len(exp))

@@ -138,14 +138,14 @@ def run_ours_warm():
     return times
 
 
-def compare():
+def compare(ours_h5=None):
     import h5py
 
     from gatb_core_tpu.debruijn.graph import Graph
 
     log("compare: loading both graphs")
     ref = Graph.load(REF_H5)
-    ours = Graph.load(OURS_H5)
+    ours = Graph.load(ours_h5 or OURS_H5)
     res = {"n_ref": len(ref.solid_limbs), "n_ours": len(ours.solid_limbs)}
     assert res["n_ref"] == res["n_ours"], res
     # full key-by-key table equality (loader returns value-sorted tables)
@@ -181,6 +181,9 @@ def main():
         results.update(run_ours_warm())
     if args.phase in ("compare", "all"):
         results.update(compare())
+    if args.phase == "warmcompare":
+        # key-by-key equality of the WARM run's table (bank-cache path)
+        results.update(compare(OURS_H5.replace(".h5", "_warm.h5")))
     with open(RESULTS, "a") as f:
         f.write(json.dumps(results) + "\n")
     log("done: " + json.dumps(results))
