@@ -109,7 +109,8 @@ class Graph:
                bloom_kind: str = "neighbor", debloom_kind: str = "cascading",
                mphf_kind: str = "boophf",
                repartition: bool = True,
-               superbatch_rows: int | None = None, mesh=None) -> "Graph":
+               superbatch_rows: int | None = None, mesh=None,
+               table_budget_bytes: int | None = None) -> "Graph":
         """Full graph build from a bank (Graph::create equivalent):
         config -> repartitor -> DSK (build_visitor_solid, Graph.cpp:286-433)
         then MPHF -> Bloom -> Debloom -> Branching (build_visitor_postsolid,
@@ -123,6 +124,8 @@ class Graph:
                           nb_passes=nb_passes)
         if superbatch_rows is not None:
             cfg.superbatch_rows = superbatch_rows
+        if table_budget_bytes is not None:
+            cfg.table_budget_bytes = table_budget_bytes
         # Algorithm contract: run() wraps execute() with exec_time + the
         # stopwatch tree (executeAlgorithm, Graph.cpp:242-262)
         dsk = SortingCount(cfg)

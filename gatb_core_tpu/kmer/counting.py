@@ -38,6 +38,11 @@ from .histogram import Histogram
 MAX_INT32 = 2**31 - 1
 
 
+class _RePlan(Exception):
+    """Raised mid-count when the live distinct tables exceed the soft HBM
+    budget; execute() restarts with doubled passes."""
+
+
 @dataclass
 class CountConfig:
     """Counting parameters (defaults match gatb-core CLI defaults,
@@ -71,6 +76,14 @@ class CountConfig:
     # blocked two-level compaction in the superbatch reduce (sortops
     # count_planes(blocked=True)); overflow-flag guarded either way
     blocked_compaction: bool = True
+    # soft HBM budget for the accumulated per-pass distinct tables; when
+    # the rolling tables' upper bounds exceed it, execute() aborts and
+    # transparently re-plans with twice the passes (optimistic 1-pass
+    # execution + transactional re-plan — the TPU replacement for the
+    # reference's disk-volume pass formula, which exists only to bound
+    # SPILL FILES; a pass here re-sorts every window, so fewer passes
+    # are strictly cheaper while the tables fit)
+    table_budget_bytes: int = 6 << 30
     # multi-pass device-resident bank cache budget (bytes): pass 0's
     # staged packed read arrays are kept on device and re-dispatched by
     # later passes (every pass streams the same reads; the filter is
@@ -364,6 +377,21 @@ class SortingCount(Algorithm):
         return total
 
     def execute(self, bank) -> CountResult:
+        """Optimistic pass execution: runs with cfg.nb_passes, and if the
+        accumulated distinct tables blow the soft HBM budget mid-run,
+        restarts with doubled passes (exact either way — the pass filter
+        partitions kmers)."""
+        nb_passes = max(1, int(self.config.nb_passes))
+        while True:
+            try:
+                return self._execute(bank, nb_passes)
+            except _RePlan as rp:
+                nb_passes *= 2
+                if nb_passes > 64:
+                    raise RuntimeError(
+                        "counting re-plan exceeded 64 passes") from rp
+
+    def _execute(self, bank, nb_passes: int) -> CountResult:
         cfg = self.config
         bank = open_bank(bank)
         k = cfg.kmer_size
@@ -381,8 +409,12 @@ class SortingCount(Algorithm):
         seq_max = [0]
         seq_sumsq = [0.0]
         spare = (2 * k) % 32 != 0
-        nb_passes = max(1, int(cfg.nb_passes))
         native_paths = _native_fastx_paths(bank)
+        # soft budget: STORED bytes per live table row (limb planes +
+        # counts); sort transients are bounded separately by
+        # cfg.superbatch_rows and do not persist across superbatches
+        row_bytes = 4 * w + 4
+        budget_rows = max(cfg.table_budget_bytes // row_bytes, 1024)
 
         rows_per_batch = cfg.batch_reads * (builder.L - k + 1)
         G = max(1, int(cfg.superbatch_rows) // rows_per_batch)
@@ -513,6 +545,8 @@ class SortingCount(Algorithm):
             # no eager trim (each out-of-jit slice is a dispatched device
             # op): rows past n are sentinel, merges mask them; ub = n
             lst.append((out_p, counts, n, n))
+            if sum(t[3] for t in lst) > budget_rows:
+                raise _RePlan(nb_passes)
             n_resolved[0] += 1
             with ti.section("3.merge"):
                 while len(lst) > _MAX_LIVE:
@@ -723,6 +757,9 @@ class SortingCount(Algorithm):
             # discipline metric — every new shape is a fresh 3-10 min
             # compile through the TPU tunnel)
             "nb_device_programs": self._program_cache_size() - programs0,
+            # passes actually RUN (>= cfg.nb_passes after optimistic
+            # re-planning, counting._RePlan)
+            "nb_passes_effective": int(nb_passes),
         }
         # reference-style per-phase tree (fill_partitions/fill_solid_kmers
         # + phase breakdown, PartitionsCommand.cpp:1229-1235): here 'fill'

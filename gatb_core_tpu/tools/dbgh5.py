@@ -95,22 +95,19 @@ def _send_email(args, props) -> None:
 
 
 def _plan_nb_passes(args) -> int:
-    """Compute nb_passes from the configuration plan (the reference sizes
-    its pass loop the same way, ConfigurationAlgorithm.cpp:350)."""
+    """Pass-count policy. The reference derives passes from DISK volume
+    (ConfigurationAlgorithm.cpp:350) because its passes bound spill
+    files; our passes bound HBM-resident distinct tables and every pass
+    re-sorts the full window set, so fewer passes are strictly cheaper
+    while the tables fit. Default is therefore OPTIMISTIC 1-pass —
+    SortingCount.execute transparently re-plans with doubled passes if
+    the tables blow the budget mid-run (counting._RePlan). ``-nb-passes``
+    still forces the loop (the conformance/stress scenarios use it);
+    ``compute_plan`` keeps the reference disk formula for artifact
+    parity (and the repartitor's partition count)."""
     if args.nb_passes:
         return args.nb_passes
-    from ..bank.fasta import open_bank
-    from ..kmer.configuration import compute_plan
-
-    try:
-        n, total, mx = open_bank(args.input).estimate()
-        plan = compute_plan(n, total, mx, args.kmer_size,
-                            max_memory_mb=args.max_memory,
-                            max_disk_space_mb=args.max_disk,
-                            minimizer_size=args.minimizer_size)
-        return max(1, plan.nb_passes)
-    except ValueError:
-        return 1
+    return 1
 
 
 def main(argv=None) -> int:
@@ -151,6 +148,7 @@ def main(argv=None) -> int:
         minimizer_size=args.minimizer_size, output=out,
         histo_max=args.histo_max, nb_passes=nb_passes,
         superbatch_rows=superbatch_rows, batch_len=batch_len,
+        table_budget_bytes=max(args.max_memory, 64) << 20,
         bloom_kind=args.bloom, debloom_kind=args.debloom,
         mphf_kind=args.mphf,
         build_branching=args.branching != "none")

@@ -109,3 +109,24 @@ def test_bank_cache_pass_reuse_exact():
     assert (r1.solid_kmers == r2.solid_kmers).all()
     assert (r1.solid_counts == r2.solid_counts).all()
     assert r1.as_dict() == count_kmers_py(reads, 21, abundance_min=1)
+
+
+def test_optimistic_replan_exact():
+    """A too-small table budget must trigger the transactional pass
+    re-plan (counting._RePlan -> doubled passes) with an exact result."""
+    import numpy as np
+
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.counting import SortingCount, CountConfig
+    from gatb_core_tpu.kmer.model import count_kmers_py
+
+    rng = np.random.default_rng(4)
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    reads = [genome[s:s + 100] for s in rng.integers(0, 2900, size=120)]
+    cfg = CountConfig(kmer_size=21, abundance_min=1, nb_passes=1,
+                      batch_reads=32, batch_len=128,
+                      superbatch_rows=1 << 12,
+                      table_budget_bytes=1)   # force the re-plan
+    res = SortingCount(cfg).execute(BankStrings(*reads))
+    assert res.info["nb_passes_effective"] > 1   # the re-plan fired
+    assert res.as_dict() == count_kmers_py(reads, 21, abundance_min=1)

@@ -153,7 +153,8 @@ def compare(ours_h5=None):
         "solid kmer sets differ"
     assert np.array_equal(ref.solid_counts, ours.solid_counts), \
         "solid counts differ"
-    with h5py.File(REF_H5, "r") as fr, h5py.File(OURS_H5, "r") as fo:
+    with h5py.File(REF_H5, "r") as fr, \
+            h5py.File(ours_h5 or OURS_H5, "r") as fo:
         hr = fr["histogram/histogram"][:]
         ho = fo["histogram/histogram"][:]
         assert np.array_equal(hr, ho), "histograms differ"
