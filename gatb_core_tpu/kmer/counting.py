@@ -478,7 +478,7 @@ class SortingCount(Algorithm):
         # at ~66 superbatch tables)
         tables: dict[int, list] = {}
         n_resolved = [0]
-        _MAX_LIVE = 3
+        _MAX_LIVE_LSM = 10   # hard cap on live per-pass tables
         # adaptive distinct-ratio estimate: start from the caller's plan
         # hint, learn from each superbatch's measured n/rows so
         # low-coverage banks stop paying the overflow re-run
@@ -549,7 +549,16 @@ class SortingCount(Algorithm):
                 raise _RePlan(nb_passes)
             n_resolved[0] += 1
             with ti.section("3.merge"):
-                while len(lst) > _MAX_LIVE:
+                # LSM-style size-classed merging (r4): only merge the two
+                # smallest tables while they are in the same size class.
+                # The old accumulate-into-one policy re-sorted the big
+                # table once per superbatch — O(N*P) rows (85 of 142 s of
+                # the stress warm run); the binary-counter tree is
+                # O(N*log P) with <= ~log2(P)+2 live tables
+                while len(lst) >= 2:
+                    lst.sort(key=lambda t: t[3])
+                    if len(lst) <= _MAX_LIVE_LSM                             and lst[1][3] > 2 * lst[0][3]:
+                        break
                     _merge_smallest_pair(lst)
             progress.inc(g_len)
 
