@@ -135,13 +135,23 @@ class CountProcessorChain(CountProcessor):
             it.end_part(pass_id, part_id)
 
     def process_table(self, part_id, kmers, counts, sums):
-        keep = np.ones(len(kmers), bool)
+        # keep=None means "all rows": avoids re-materializing full copies
+        # of the (N, W) table per chain item when nothing filtered yet
+        # (r4: three 360 MB gathers per 30M-row sweep)
+        keep = None
         for it in self.items:
-            mask = it.process_table(part_id, kmers[keep], counts[keep],
-                                    sums[keep])
-            if mask is not None:
-                keep[np.flatnonzero(keep)] = np.asarray(mask, bool)
-        return keep
+            if keep is None:
+                mask = it.process_table(part_id, kmers, counts, sums)
+                if mask is not None:
+                    mask = np.asarray(mask, bool)
+                    if not mask.all():
+                        keep = mask
+            else:
+                mask = it.process_table(part_id, kmers[keep], counts[keep],
+                                        sums[keep])
+                if mask is not None:
+                    keep[np.flatnonzero(keep)] = np.asarray(mask, bool)
+        return keep if keep is not None else np.ones(len(kmers), bool)
 
     def get_properties(self):
         props: dict = {}

@@ -30,7 +30,10 @@ class Histogram:
 
     def add_counts(self, abundances: np.ndarray) -> None:
         """Accumulate one abundance per distinct kmer."""
-        clipped = np.clip(abundances.astype(np.int64), 0, self.max_value)
+        # np.minimum beats np.clip ~3x on large int arrays (counts are
+        # already >= 0 from the reduce)
+        clipped = np.minimum(abundances, self.max_value).astype(np.int64)
+        np.maximum(clipped, 0, out=clipped)
         self.bins += np.bincount(clipped, minlength=self.max_value + 1) \
             .astype(np.uint64)
 

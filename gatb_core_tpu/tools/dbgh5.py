@@ -122,8 +122,11 @@ def main(argv=None) -> int:
     # fillSolidKmers memory guards (SortingCountAlgorithm.cpp:1500-1540)
     nb_passes = _plan_nb_passes(args)
     # bound live extraction rows by the memory budget: a sorted superbatch
-    # costs ~32 B/row (limb planes + validity + sort temporaries)
-    superbatch_rows = min(1 << 24,
+    # costs ~32 B/row (limb planes + validity + sort temporaries). The
+    # cap is 1<<25 (r4: fewer, larger superbatches amortize the ~0.5 s
+    # of per-dispatch fixed cost — upload round trip, resolve sync —
+    # that dominated the stress warm fill gap)
+    superbatch_rows = min(1 << 25,
                           max(1 << 16, args.max_memory * (1 << 20) // 32))
     # size the batch row length from the bank's sampled max read length
     # (r4): a short-read bank padded to the default 256 columns wastes
