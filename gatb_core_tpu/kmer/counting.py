@@ -607,9 +607,10 @@ class SortingCount(Algorithm):
             pending.append((out, rows, (codes, valid, lengths), pass_i,
                             first_pass, len(group)))
             # resolve the FIRST superbatch immediately (learn the distinct
-            # ratio before sizing the next); after that keep up to 2 in
-            # flight so host parse + transfer overlap device compute
-            while len(pending) > (0 if n_resolved[0] == 0 else 2):
+            # ratio before sizing the next); after that keep up to 3 in
+            # flight so host parse + transfer overlap device compute and
+            # the tunnel's per-dispatch latency stays hidden
+            while len(pending) > (0 if n_resolved[0] == 0 else 3):
                 resolve(pending.pop(0))
 
         def drop_cache():
@@ -629,7 +630,7 @@ class SortingCount(Algorithm):
                 blocked=bool(cfg.blocked_compaction))
             pending.append((out, rows, (codes, valid, lengths), pass_i,
                             False, codes.shape[0]))
-            while len(pending) > 2:
+            while len(pending) > 3:
                 resolve(pending.pop(0))
 
         # DSK pass loop (SortingCountAlgorithm.cpp:678): pass p keeps kmers
