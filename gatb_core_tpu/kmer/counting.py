@@ -805,6 +805,14 @@ def _merge_smallest_pair(lst) -> None:
     so chained merges mask them without trimming."""
     from ..ops.sortops import merge_tables_planes
 
+    # LAZY bound refresh (r4): entries whose soft bound crossed the sync
+    # threshold fetch their exact n NOW — their producing dispatch is
+    # typically superbatches old, so the device_get no longer stalls the
+    # pipeline (the eager output-time sync serialized the whole merge
+    # chain: ~50 of the stress warm run's seconds)
+    for i, t in enumerate(lst):
+        if t[3] >= _SYNC_UB_ROWS:
+            lst[i] = (t[0], t[1], t[2], int(jax.device_get(t[2])))
     lst.sort(key=lambda t: t[3])
     (pa, ca, na, ua), (pb, cb, nb, ub) = lst[0], lst[1]
     cap_out = _next_pow2(max(ua + ub, 256))
@@ -812,10 +820,7 @@ def _merge_smallest_pair(lst) -> None:
         pa, jnp.asarray(ca), _as_i32(na),
         pb, jnp.asarray(cb), _as_i32(nb), cap_out=cap_out)
     del lst[:2]
-    ub_new = ua + ub
-    if ub_new >= _SYNC_UB_ROWS:
-        ub_new = int(jax.device_get(n))
-    lst.append((planes, counts, n, ub_new))
+    lst.append((planes, counts, n, ua + ub))
 
 
 def _as_i32(n):

@@ -126,8 +126,15 @@ def test_merge_ub_sync_bounds_caps(monkeypatch):
     C._merge_smallest_pair(lst)
     C._merge_smallest_pair(lst)
     planes, counts, n, ub = lst[0]
-    # bound collapsed to the exact distinct count, not the 140-row sum
-    assert ub == len(base)
     assert int(np.asarray(n)) == len(base)
     total = int(np.asarray(counts).sum())
     assert total == 140  # 50 + 50 + 40 occurrences survive the reduce
+    # the bound is refreshed LAZILY: the next merge's prologue collapses
+    # any bound past the sync threshold to the exact n BEFORE sizing
+    # capacities (r4: the eager output-time sync serialized the chain)
+    assert ub >= len(base)          # soft bound may be inflated here
+    lst.append(table(base[:10]))
+    C._merge_smallest_pair(lst)
+    _, counts2, n2, ub2 = lst[0]
+    assert int(np.asarray(n2)) == len(base)
+    assert ub2 == len(base) + 10    # exact(50) + fresh(10), not 140+10
