@@ -420,8 +420,10 @@ class Graph:
             jtab = jnp.asarray(ptab)
             pad_chunk = min(sweep_chunk(self.nb_nodes),
                             _next_pow2_int(max(1, self.nb_nodes)))
-            if chunk:   # caller-imposed device-memory bound
-                pad_chunk = min(pad_chunk, _next_pow2_int(chunk))
+            if chunk:   # caller-imposed device-memory bound: round DOWN
+                c = _next_pow2_int(chunk)
+                pad_chunk = min(pad_chunk, max(c // 2, 1) if c > chunk
+                                else c)
             for i in range(0, self.nb_nodes, pad_chunk):
                 part = self.solid_limbs[i:i + pad_chunk]
                 npart = len(part)

@@ -133,10 +133,10 @@ def _pad_self(parent: np.ndarray):
     """Pad a parent array to pow2 with self-loop sentinels so the
     doubling programs compile once per capacity bucket (r4: shape drift
     across simplify recompactions caused hundreds of recompiles)."""
+    from ..ops.sortops import _next_pow2
+
     m = len(parent)
-    cap = 1
-    while cap < max(m, 2):
-        cap <<= 1
+    cap = _next_pow2(max(m, 2))
     if cap == m:
         return parent, m
     out = np.empty(cap, parent.dtype)
@@ -519,9 +519,9 @@ def _emit_sequences(solid_limbs, k, node_unitig, node_pos, node_strand,
 
         hl = limbs[head_sel]
         hs = strands[head_sel]
-        hcap = 1
-        while hcap < len(hl):
-            hcap <<= 1
+        from ..ops.sortops import _next_pow2
+
+        hcap = _next_pow2(max(len(hl), 1))
         hpad = np.zeros((hcap, hl.shape[1]), hl.dtype)
         hpad[:len(hl)] = hl
         rc = np.asarray(revcomp_limbs(jnp.asarray(hpad), k))[:len(hl)]

@@ -477,6 +477,7 @@ class SortingCount(Algorithm):
         # (the round-3 stress run proved end-deferred merging OOMs HBM
         # at ~66 superbatch tables)
         tables: dict[int, list] = {}
+        host_tables: dict[int, tuple] = {}   # pass -> fetched (kmers, counts)
         n_resolved = [0]
         _MAX_LIVE_LSM = 10   # hard cap on live per-pass tables
         # adaptive distinct-ratio estimate: start from the caller's plan
@@ -546,7 +547,14 @@ class SortingCount(Algorithm):
             # op): rows past n are sentinel, merges mask them; ub = n
             lst.append((out_p, counts, n, n))
             if sum(t[3] for t in lst) > budget_rows:
-                raise _RePlan(nb_passes)
+                # bounds are no-dedup sums; collapse every bound to the
+                # exact n before concluding the pass really blew the
+                # budget (review r4: high-overlap banks would otherwise
+                # spuriously cascade re-plans)
+                lst[:] = [(p, c, nn, int(np.asarray(nn)))
+                          for (p, c, nn, _u) in lst]
+                if sum(t[3] for t in lst) > budget_rows:
+                    raise _RePlan(nb_passes)
             n_resolved[0] += 1
             with ti.section("3.merge"):
                 # LSM-style size-classed merging (r4): only merge the two
@@ -617,6 +625,26 @@ class SortingCount(Algorithm):
             nonlocal bank_cache
             bank_cache = None
 
+        def end_pass(pass_i):
+            """Pass boundary: drain + fold this pass down to ONE table and
+            FETCH it to host — device memory holds at most the active
+            pass's tables, so the _RePlan budget actually bounds HBM
+            (review r4: finished passes used to stay device-resident)."""
+            while pending:
+                resolve(pending.pop(0))
+            with ti.section("3.merge"):
+                lst = tables.get(pass_i, [])
+                while len(lst) > 1:
+                    _merge_smallest_pair(lst)
+                if lst:
+                    planes_d, counts_d, n_d, _ = lst[0]
+                    host_tables[pass_i] = _fetch_table(
+                        planes_d, counts_d, int(np.asarray(n_d)), w)
+                    lst.clear()
+                else:
+                    host_tables[pass_i] = (np.zeros((0, w), np.uint32),
+                                           np.zeros((0,), np.int32))
+
         def dispatch_staged(codes, valid, lengths, pass_i):
             """flush_group's tail for already-staged device arrays."""
             rows = codes.shape[0] * rows_per_batch
@@ -641,12 +669,7 @@ class SortingCount(Algorithm):
             if not first_pass and bank_cache is not None:
                 for staged in bank_cache:      # device-resident reuse
                     dispatch_staged(*staged, pass_i)
-                while pending:
-                    resolve(pending.pop(0))
-                with ti.section("3.merge"):
-                    lst = tables.get(pass_i, [])
-                    while len(lst) > 1:
-                        _merge_smallest_pair(lst)
+                end_pass(pass_i)
                 continue
             group: list = []
             for batch in _prefetch(produce(first_pass), depth=4):
@@ -656,14 +679,7 @@ class SortingCount(Algorithm):
                     group = []
             if group:
                 flush_group(group, pass_i, first_pass)
-            # pass boundary: drain + fold this pass down to ONE device
-            # table so a multi-pass run never stacks passes' tables
-            while pending:
-                resolve(pending.pop(0))
-            with ti.section("3.merge"):
-                lst = tables.get(pass_i, [])
-                while len(lst) > 1:
-                    _merge_smallest_pair(lst)
+            end_pass(pass_i)
 
         t_fill = time.time() - t0
         progress.finish()
@@ -676,7 +692,9 @@ class SortingCount(Algorithm):
         parts: list[tuple[int, np.ndarray, np.ndarray]] = []
         with ti.section("3.merge"):
             for p in range(nb_passes):
-                uniq_p, counts_p = _merge_table_list(tables.get(p, []), w)
+                uniq_p, counts_p = host_tables.get(
+                    p, (np.zeros((0, w), np.uint32),
+                        np.zeros((0,), np.int32)))
                 parts.append((p, uniq_p, counts_p))
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))

@@ -174,11 +174,11 @@ struct Batcher {
         }
         nb_seqs++;
         {
-          int64_t L = (int64_t)carry.size();
-          total_size += L;
-          if (min_len < 0 || L < min_len) min_len = L;
-          if (L > max_len) max_len = L;
-          sumsq += (double)L * (double)L;
+          int64_t slen = (int64_t)carry.size();
+          total_size += slen;
+          if (min_len < 0 || slen < min_len) min_len = slen;
+          if (slen > max_len) max_len = slen;
+          sumsq += (double)slen * (double)slen;
         }
         carry_pos = 0;
         carry_active = true;
@@ -226,11 +226,11 @@ struct Batcher {
         }
         nb_seqs++;
         {
-          int64_t L = (int64_t)carry.size();
-          total_size += L;
-          if (min_len < 0 || L < min_len) min_len = L;
-          if (L > max_len) max_len = L;
-          sumsq += (double)L * (double)L;
+          int64_t slen = (int64_t)carry.size();
+          total_size += slen;
+          if (min_len < 0 || slen < min_len) min_len = slen;
+          if (slen > max_len) max_len = slen;
+          sumsq += (double)slen * (double)slen;
         }
         carry_pos = 0;
         carry_active = true;

@@ -483,9 +483,11 @@ def count_kmers_distributed_superbatch(
         # of the concatenated per-range tables ---------------------------
         if two_d:
             cap_out = _next_pow2(nb_hosts * caps["acc"])
-            hm = make_host_merge(mesh, w=w, cap_acc=caps["acc"],
-                                 cap_out=cap_out)
-            merged = hm(*carry)
+            key = ("hm", caps["acc"], cap_out)
+            if key not in steps:     # one compile per caps bucket
+                steps[key] = make_host_merge(
+                    mesh, w=w, cap_acc=caps["acc"], cap_out=cap_out)
+            merged = steps[key](*carry)
             acc_n = np.asarray(merged[w + 1])     # (chips,)
             kplanes = [np.asarray(merged[j]).reshape(ndev, cap_out)
                        for j in range(w)]
