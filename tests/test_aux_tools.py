@@ -148,3 +148,24 @@ def test_dbgh5_tool_contract_and_email(tmp_path):
         "-branching-nodes", "none"])
     assert rc == 0
     assert "exec_time" in tool.get_info()
+
+
+def test_clear_cache_and_bank_download(tmp_path):
+    """ClearCache touches the requested bytes; BankDownload fetches a
+    file:// URL, gunzips, and annotates stats (BankDownload.cpp /
+    ClearCache.cpp equivalents)."""
+    import gzip
+
+    from gatb_core_tpu.tools.clear_cache import clear
+    from gatb_core_tpu.tools import bank_download
+
+    assert clear(3 << 20, chunk_mb=1, verbose=False) == 3 << 20
+
+    src = tmp_path / "mini.fa.gz"
+    with gzip.open(src, "wt") as f:
+        f.write(">a\nACGTACGT\n>b\nGGGTTT\n")
+    rc = bank_download.main(["-url", src.as_uri(), "-out", str(tmp_path)])
+    assert rc == 0
+    out = tmp_path / "mini.fa"
+    assert out.exists()
+    assert "ACGTACGT" in out.read_text()
