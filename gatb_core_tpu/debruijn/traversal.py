@@ -34,16 +34,21 @@ class NodeGraphView:
     slots per node).
     """
 
-    def __init__(self, graph, chunk: int = 1 << 15):
+    def __init__(self, graph, chunk: int = 1 << 15, precomputed=None):
         self.graph = graph
         self.k = graph.kmer_size
         n = graph.nb_nodes
         self.n = n
         limbs = graph.solid_limbs
         self.counts = graph.solid_counts
-        self.ranks = np.zeros((n, 8), np.int32)
-        self.flips = np.zeros((n, 8), np.int8)
-        if n:
+        if precomputed is not None:
+            # full-table candidate ranks/flips supplied by the caller
+            # (e.g. Simplifications' sweep) — skip the device pass
+            self.ranks, self.flips = precomputed
+        else:
+            self.ranks = np.zeros((n, 8), np.int32)
+            self.flips = np.zeros((n, 8), np.int8)
+        if n and precomputed is None:
             from .unitigs import _cand_ranks_flips
             from ..ops.sortops import pad_rows_pow2, sweep_chunk
 
@@ -526,8 +531,6 @@ def assemble_contigs(graph, traversal: str = "monument",
     assembly loop over the graph). ``engine='fast'`` uses the
     unitig-jumping Monument (same output, seconds at multimillion-node
     scale); 'oracle' is the per-kmer reference port."""
-    view = NodeGraphView(graph)
-    terminator = Terminator(view)
     if engine == "fast" and traversal == "monument":
         from .simplifications import Simplifications
 
@@ -535,6 +538,12 @@ def assemble_contigs(graph, traversal: str = "monument",
         simp = Simplifications(graph)
         us, ug = simp._compact(graph.solid_limbs[live],
                                graph.solid_counts[live])
+        # the compaction's full-table sweep doubles as the view's
+        # neighbor table (same kernel — one device pass instead of two)
+        pre = (simp._full_ranks, simp._full_flips) \
+            if getattr(simp, "_full_ranks", None) is not None else None
+        view = NodeGraphView(graph, precomputed=pre)
+        terminator = Terminator(view)
         # us indexes the LIVE subset; remap node arrays to the full table
         nu = np.full(view.n, -1, np.int32)
         npos = np.zeros(view.n, np.int32)
@@ -549,6 +558,8 @@ def assemble_contigs(graph, traversal: str = "monument",
                           node_strand=nstr)
         trav = UnitigJumpTraversal(view, terminator, us_full, ug)
     else:
+        view = NodeGraphView(graph)
+        terminator = Terminator(view)
         cls = MonumentTraversal if traversal == "monument" \
             else SimplePathsTraversal
         trav = cls(view, terminator)
