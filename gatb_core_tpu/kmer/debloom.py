@@ -126,17 +126,30 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
 
         cfp = distributed_debloom_probe(mesh, solid_limbs, k, bloom)
     else:
+        from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
         cfp_parts = []
-        csize = min(chunk, max(n, 1))
-        kernel = _debloom_kernel(k, n, csize, bloom.size_bits, bloom.n_hash,
-                                 user_seed, bloom.kind)
+        ptab, _ = pad_rows_pow2(solid_limbs if n else
+                                np.zeros((1, w), np.uint32))
+        jtab = jnp.asarray(ptab)
+        # few, large chunks: each chunk's sort-join re-sorts the whole
+        # table AND pays a chained tunnel dispatch (~1 s each through
+        # the remote queue — 31 chunks made debloom 101 of the 120 s
+        # warm postsolid); pow2 table + traced n keep one compile per
+        # capacity bucket (r4 shape discipline)
+        csize = min(sweep_chunk(max(n, 1)), len(ptab))
+        if chunk != 1 << 15:        # caller-imposed bound (tests)
+            csize = min(csize, chunk)
         for i in range(0, n, csize):
             part = solid_limbs[i:i + csize]
             npart = len(part)
             if npart < csize:
                 part = np.concatenate(
                     [part, np.zeros((csize - npart, w), np.uint32)])
-            hits, cands = kernel(jnp.asarray(part), table, bloom.words)
+            hits, cands = _debloom_probe(
+                jnp.asarray(part), jtab, jnp.int32(n), bloom.words,
+                k=k, size_bits=bloom.size_bits, n_hash=bloom.n_hash,
+                seed=user_seed, kind=bloom.kind)
             hits = np.asarray(hits).reshape(csize, 8)[:npart]
             cands = np.asarray(cands).reshape(csize, 8, w)[:npart]
             sel = hits.reshape(-1)
@@ -166,27 +179,37 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
     return DebloomResult(bloom, cfp, len(cfp), info, kind, cascade)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "size_bits", "n_hash",
+                                             "seed", "kind"))
+def _debloom_probe(nodes, table, n_table, bloom_words, *, k: int,
+                   size_bits: int, n_hash: int, seed: int,
+                   kind: str = "basic"):
+    """8-extension cFP probe sweep with a TRACED table size (one compile
+    per pow2 capacity bucket): Bloom gather + sort-join membership — the
+    reference's 8 probes/solid kmer hot loop (DebloomAlgorithm.cpp:
+    270-300) without random gathers."""
+    from ..collections.bloom import _bloom_contains
+    from ..ops.sortops import rank_join_traced
+
+    cands = neighbor_candidates(nodes, k)            # (C, 8, W)
+    c, _, w = cands.shape
+    flat = cands.reshape(c * 8, w)
+    in_bloom = _bloom_contains(bloom_words, flat, size_bits, n_hash,
+                               seed, kind, k)
+    _, solid = rank_join_traced(table, flat, n_table)
+    return in_bloom & ~solid, cands
+
+
 def _debloom_kernel(k: int, n_table: int, chunk: int, size_bits: int,
                     n_hash: int, seed: int, kind: str = "basic"):
-    from ..collections.bloom import _bloom_contains
-
-    @jax.jit
+    """Compat wrapper over `_debloom_probe` (historical factory shape)."""
     def kernel(nodes, table, bloom_words):
-        cands = neighbor_candidates(nodes, k)        # (C, 8, W)
-        c, _, w = cands.shape
-        flat = cands.reshape(c * 8, w)
-        in_bloom = _bloom_contains(bloom_words, flat, size_bits, n_hash,
-                                   seed, kind, k)
-        if n_table:
-            # sort-join membership (ops/sortops.rank_limbs) — the
-            # reference's 8 probes/solid kmer hot loop
-            # (DebloomAlgorithm.cpp:270-300) without random gathers
-            from ..ops.sortops import rank_limbs
-
-            _, solid = rank_limbs(table, flat, n_table)
-        else:
-            solid = jnp.zeros((c * 8,), bool)
-        return in_bloom & ~solid, cands
+        return _debloom_probe(nodes, table, jnp.int32(n_table),
+                              bloom_words, k=k, size_bits=size_bits,
+                              n_hash=n_hash, seed=seed, kind=kind)
 
     return kernel
 
