@@ -18,6 +18,7 @@ Bloom gather + sorted-set rank, then a host-side unique.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -102,7 +103,7 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
                   bloom_nbits: float | None = None,
                   cascading: bool = False, user_seed: int = 0,
                   bloom_kind: str = "neighbor",
-                  chunk: int = 1 << 15, mesh=None) -> DebloomResult:
+                  chunk: int | None = None, mesh=None) -> DebloomResult:
     """Build Bloom + cFP over the solid set (BloomAlgorithm +
     DebloomAlgorithm equivalents). ``bloom_kind`` defaults to the
     reference graph build's main-bloom default (neighbor-coherent — a
@@ -116,8 +117,18 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
     if bloom_nbits is None:
         # NBITS_PER_KMER formula (DebloomAlgorithm.cpp:628-650)
         bloom_nbits = debloom_nbits_per_kmer(k, cascading)
-    table = jnp.asarray(solid_limbs)
-    bloom = build_bloom(table, nbits_per_kmer=bloom_nbits,
+    from ..ops.sortops import pad_rows_pow2, sweep_chunk
+
+    # ONE pow2-padded upload serves both the bloom build (padding rows
+    # masked invalid) and the probe sweep's sort-join — the table is the
+    # bulk of this stage's host->device traffic
+    ptab, _ = pad_rows_pow2(solid_limbs if n else
+                            np.zeros((1, w), np.uint32))
+    jtab = jnp.asarray(ptab)
+    pvalid = np.zeros(len(ptab), bool)
+    pvalid[:n] = True
+    bloom = build_bloom(jtab, jnp.asarray(pvalid),
+                        nbits_per_kmer=bloom_nbits,
                         nb_items=max(n, 1), user_seed=user_seed,
                         kind=bloom_kind, kmer_size=k)
 
@@ -126,19 +137,14 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
 
         cfp = distributed_debloom_probe(mesh, solid_limbs, k, bloom)
     else:
-        from ..ops.sortops import pad_rows_pow2, sweep_chunk
-
         cfp_parts = []
-        ptab, _ = pad_rows_pow2(solid_limbs if n else
-                                np.zeros((1, w), np.uint32))
-        jtab = jnp.asarray(ptab)
         # few, large chunks: each chunk's sort-join re-sorts the whole
         # table AND pays a chained tunnel dispatch (~1 s each through
         # the remote queue — 31 chunks made debloom 101 of the 120 s
         # warm postsolid); pow2 table + traced n keep one compile per
         # capacity bucket (r4 shape discipline)
         csize = min(sweep_chunk(max(n, 1)), len(ptab))
-        if chunk != 1 << 15:        # caller-imposed bound (tests)
+        if chunk:                   # caller-imposed bound
             csize = min(csize, chunk)
         for i in range(0, n, csize):
             part = solid_limbs[i:i + csize]
@@ -179,9 +185,6 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
     return DebloomResult(bloom, cfp, len(cfp), info, kind, cascade)
 
 
-import functools
-
-
 @functools.partial(jax.jit, static_argnames=("k", "size_bits", "n_hash",
                                              "seed", "kind"))
 def _debloom_probe(nodes, table, n_table, bloom_words, *, k: int,
@@ -201,17 +204,6 @@ def _debloom_probe(nodes, table, n_table, bloom_words, *, k: int,
                                seed, kind, k)
     _, solid = rank_join_traced(table, flat, n_table)
     return in_bloom & ~solid, cands
-
-
-def _debloom_kernel(k: int, n_table: int, chunk: int, size_bits: int,
-                    n_hash: int, seed: int, kind: str = "basic"):
-    """Compat wrapper over `_debloom_probe` (historical factory shape)."""
-    def kernel(nodes, table, bloom_words):
-        return _debloom_probe(nodes, table, jnp.int32(n_table),
-                              bloom_words, k=k, size_bits=size_bits,
-                              n_hash=n_hash, seed=seed, kind=kind)
-
-    return kernel
 
 
 class BloomCfpContainer:

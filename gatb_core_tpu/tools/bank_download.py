@@ -27,7 +27,11 @@ def download(url: str, out_dir: str = ".") -> str:
                 open(dest + ".part", "wb") as f:
             shutil.copyfileobj(r, f)
         os.replace(dest + ".part", dest)
-    except OSError as exc:
+    except (OSError, ValueError) as exc:   # ValueError: malformed URL
+        try:
+            os.unlink(dest + ".part")
+        except OSError:
+            pass
         raise SystemExit(f"download failed for {url}: {exc}")
     if dest.endswith(".gz"):        # reference gunzips downloaded banks
         plain = dest[:-3]
@@ -49,9 +53,12 @@ def annotate(path: str) -> dict:
         total += len(seq)
         mx = max(mx, len(seq))
     stats = {"sequences": n, "total_nt": total, "max_len": mx}
+    setx = getattr(os, "setxattr", None)   # Linux-only API
     for key, val in stats.items():
+        if setx is None:
+            break
         try:
-            os.setxattr(path, f"user.gatb.{key}", str(val).encode())
+            setx(path, f"user.gatb.{key}", str(val).encode())
         except OSError:
             break                   # filesystem without xattr support
     return stats
