@@ -76,6 +76,13 @@ class CountConfig:
     # blocked two-level compaction in the superbatch reduce (sortops
     # count_planes(blocked=True)); overflow-flag guarded either way
     blocked_compaction: bool = True
+    # carry-accumulator counting (r4): fold each superbatch's distinct
+    # table into a device-resident accumulator INSIDE the counting
+    # dispatch (the distributed driver's design on one device) instead
+    # of a separate rolling-merge dispatch chain — the chain's tunnel
+    # queue latency dominated the stress warm profile. False restores
+    # the LSM rolling-merge path.
+    carry_accumulator: bool = True
     # soft HBM budget for the accumulated per-pass distinct tables; when
     # the rolling tables' upper bounds exceed it, execute() aborts and
     # transparently re-plans with twice the passes (optimistic 1-pass
@@ -342,6 +349,52 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
     return out_p, counts, n, overflow, n_valid, n_inside
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "m", "nb_passes", "spare",
+                                    "cap_out", "packed", "L", "blocked",
+                                    "cap_acc"))
+def _superbatch_count_carry(codes, valid, lengths, pass_i, acc_planes,
+                            acc_counts, acc_n, *, k: int, m: int,
+                            nb_passes: int, spare: bool, cap_out: int,
+                            packed: bool, L: int | None, blocked: bool,
+                            cap_acc: int):
+    """Carry-accumulator superbatch step (r4): the distributed driver's
+    device-resident accumulated table (parallel/superbatch.py) on ONE
+    device. Each dispatch does extraction + sort + distinct reduce AND
+    folds the result into the running (cap_acc,) table in the same
+    program — replacing the separate rolling-merge dispatch chain whose
+    tunnel queue latency dominated the stress warm profile. Transactional
+    like the distributed step: on ANY overflow the carry is returned
+    unchanged and the host retries with grown capacities.
+
+    Returns (acc_planes', acc_counts', acc_n', flags (2,) int32
+    [local_cap, acc_cap], n_valid, n_inside)."""
+    out_p, counts, n, ovf_loc, n_valid, n_inside = _superbatch_count.__wrapped__(
+        codes, valid, lengths, pass_i, k=k, m=m, nb_passes=nb_passes,
+        spare=spare, use_pallas=False, cap_out=cap_out, packed=packed,
+        L=L, blocked=blocked)
+    from ..ops.sortops import count_planes
+
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (cap_acc,), 0)
+    avalid = aidx < acc_n
+    nidx = jax.lax.broadcasted_iota(jnp.int32, (cap_out,), 0)
+    nvalid = nidx < n
+    cat_p = tuple(jnp.concatenate([acc_planes[j], out_p[j]])
+                  for j in range(len(out_p)))
+    cat_c = jnp.concatenate([acc_counts, counts])
+    cat_v = jnp.concatenate([avalid, nvalid])
+    new_p, new_c, n2, ovf_acc = count_planes(
+        cat_p, cat_v, weights=cat_c, spare_bits=True, cap_out=cap_acc)
+    any_ovf = ovf_loc | ovf_acc
+    keep_p = tuple(jnp.where(any_ovf, a, b)
+                   for a, b in zip(acc_planes, new_p))
+    keep_c = jnp.where(any_ovf, acc_counts, new_c)
+    keep_n = jnp.where(any_ovf, acc_n, n2)
+    flags = jnp.stack([ovf_loc, ovf_acc]).astype(jnp.int32)
+    return keep_p, keep_c, keep_n, flags, n_valid, n_inside
+
+
+
 from ..misc.algorithm import Algorithm
 
 
@@ -511,6 +564,80 @@ class SortingCount(Algorithm):
         bank_cache: list | None = [] if nb_passes > 1 else None
         cache_bytes = [0]
 
+        # ---- carry-accumulator mode state ------------------------------
+        use_carry = bool(cfg.carry_accumulator)
+        carry = {"p": None, "c": None, "n": None, "acc": 0, "out": 0}
+
+        def carry_fresh(pass_i):
+            est = max(int(rows_per_batch * G * dedup_ratio["est"] * 2),
+                      1 << 12)
+            if carry["acc"] == 0:
+                # the accumulator capacity respects the table budget from
+                # the start, so exceeding it GROWS into the _RePlan guard
+                carry["acc"] = _next_pow2(
+                    min(est, max(budget_rows, 256)))
+            if carry["out"] == 0:
+                carry["out"] = _next_pow2(est)
+            carry["p"] = tuple(
+                jnp.full((carry["acc"],), jnp.uint32(0xFFFFFFFF))
+                for _ in range(w))
+            carry["c"] = jnp.zeros((carry["acc"],), jnp.int32)
+            carry["n"] = jnp.int32(0)
+
+        def carry_grow():
+            """Host-pad the carry to twice the capacity (rare)."""
+            new_acc = carry["acc"] * 2
+            if new_acc > budget_rows:   # budget_rows has a 1024 floor
+                raise _RePlan(nb_passes)
+            ps, cs = [], None
+            for j in range(w):
+                arr = np.asarray(carry["p"][j])
+                out = np.full(new_acc, 0xFFFFFFFF, np.uint32)
+                out[:carry["acc"]] = arr
+                ps.append(jnp.asarray(out))
+            arr = np.asarray(carry["c"])
+            out = np.zeros(new_acc, np.int32)
+            out[:carry["acc"]] = arr
+            cs = jnp.asarray(out)
+            carry["p"], carry["c"] = tuple(ps), cs
+            carry["acc"] = new_acc
+
+        def carry_dispatch(codes, valid, lengths, pass_i, first_pass,
+                           g_len):
+            """One transactional carry fold; retries with grown caps on
+            overflow (the flags ride with the pending entry)."""
+            while True:
+                out = _superbatch_count_carry(
+                    codes, valid, lengths, jnp.int32(pass_i),
+                    carry["p"], carry["c"], carry["n"],
+                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                    spare=spare, cap_out=carry["out"], packed=packed,
+                    L=builder.L if packed else None,
+                    blocked=bool(cfg.blocked_compaction),
+                    cap_acc=carry["acc"])
+                keep_p, keep_c, keep_n, flags, nv, ni = out
+                fl = np.asarray(flags)       # sync: transactional commit
+                if not fl.any():
+                    carry["p"], carry["c"], carry["n"] =                         keep_p, keep_c, keep_n
+                    if first_pass:
+                        valid_scalars.append(int(np.asarray(nv)))
+                        inside_scalars.append(int(np.asarray(ni)))
+                    progress.inc(g_len)
+                    return
+                if fl[0]:
+                    carry["out"] = min(carry["out"] * 2,
+                                       _next_pow2(max(
+                                           rows_per_batch * G, 256)))
+                if fl[1]:
+                    carry_grow()
+
+        def carry_end_pass(pass_i):
+            n = int(np.asarray(carry["n"]))
+            with ti.section("3.merge"):
+                host_tables[pass_i] = _fetch_table(
+                    carry["p"], carry["c"], n, w)
+            carry["p"] = carry["c"] = carry["n"] = None
+
         def resolve(item):
             """Sync point of one superbatch: overflow check (+ exact rerun
             at full capacity when tripped), stats, trim, ratio update."""
@@ -597,6 +724,11 @@ class SortingCount(Algorithm):
                 else:           # budget exceeded: drop the whole cache
                     nonlocal_cache.clear()
                     drop_cache()
+            if use_carry:
+                with ti.section("2.sort"):
+                    carry_dispatch(codes, valid, lengths, pass_i,
+                                   first_pass, len(group))
+                return
             rows = codes.shape[0] * rows_per_batch
             # distinct-table capacity: coverage makes distinct << rows;
             # the ratio is learned from each superbatch's measured n/rows
@@ -666,10 +798,20 @@ class SortingCount(Algorithm):
         # and bounds live device memory to its own superbatch.
         for pass_i in range(nb_passes):
             first_pass = pass_i == 0
+            if use_carry:
+                carry_fresh(pass_i)
             if not first_pass and bank_cache is not None:
                 for staged in bank_cache:      # device-resident reuse
-                    dispatch_staged(*staged, pass_i)
-                end_pass(pass_i)
+                    if use_carry:
+                        with ti.section("2.sort"):
+                            carry_dispatch(*staged, pass_i, False,
+                                           staged[0].shape[0])
+                    else:
+                        dispatch_staged(*staged, pass_i)
+                if use_carry:
+                    carry_end_pass(pass_i)
+                else:
+                    end_pass(pass_i)
                 continue
             group: list = []
             for batch in _prefetch(produce(first_pass), depth=4):
@@ -679,7 +821,10 @@ class SortingCount(Algorithm):
                     group = []
             if group:
                 flush_group(group, pass_i, first_pass)
-            end_pass(pass_i)
+            if use_carry:
+                carry_end_pass(pass_i)
+            else:
+                end_pass(pass_i)
 
         t_fill = time.time() - t0
         progress.finish()
