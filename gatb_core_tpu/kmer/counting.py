@@ -79,10 +79,14 @@ class CountConfig:
     # carry-accumulator counting (r4): fold each superbatch's distinct
     # table into a device-resident accumulator INSIDE the counting
     # dispatch (the distributed driver's design on one device) instead
-    # of a separate rolling-merge dispatch chain — the chain's tunnel
-    # queue latency dominated the stress warm profile. False restores
-    # the LSM rolling-merge path.
-    carry_accumulator: bool = True
+    # of a separate rolling-merge dispatch chain. MEASURED at stress
+    # scale (30M distinct): warm 120.8 s vs the LSM chain's 87.6 s —
+    # the per-superbatch O(acc+new) fold costs more device compute than
+    # the chain costs in dispatch latency on this tunnel, so the LSM
+    # path stays the default; the carry path remains available (and is
+    # the right shape for multi-chip, where the distributed driver
+    # already uses it) and fully tested.
+    carry_accumulator: bool = False
     # soft HBM budget for the accumulated per-pass distinct tables; when
     # the rolling tables' upper bounds exceed it, execute() aborts and
     # transparently re-plans with twice the passes (optimistic 1-pass

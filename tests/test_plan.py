@@ -130,3 +130,33 @@ def test_optimistic_replan_exact():
     res = SortingCount(cfg).execute(BankStrings(*reads))
     assert res.info["nb_passes_effective"] > 1   # the re-plan fired
     assert res.as_dict() == count_kmers_py(reads, 21, abundance_min=1)
+
+
+def test_carry_accumulator_mode_exact():
+    """The opt-in carry-accumulator path (fold-into-dispatch, measured
+    slower than the LSM chain on the tunnel but kept for multi-chip
+    parity) must stay exact, multi-pass and re-plan included."""
+    import numpy as np
+
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.counting import SortingCount, CountConfig
+    from gatb_core_tpu.kmer.model import count_kmers_py
+
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=2500))
+    reads = [genome[s:s + 100] for s in rng.integers(0, 2400, size=140)]
+    for passes in (1, 3):
+        cfg = CountConfig(kmer_size=21, abundance_min=1,
+                          nb_passes=passes, batch_reads=32,
+                          batch_len=128, superbatch_rows=1 << 12,
+                          carry_accumulator=True)
+        res = SortingCount(cfg).execute(BankStrings(*reads))
+        assert res.as_dict() == count_kmers_py(reads, 21, abundance_min=1)
+    # forced re-plan through the carry guard
+    cfg = CountConfig(kmer_size=21, abundance_min=1, nb_passes=1,
+                      batch_reads=32, batch_len=128,
+                      superbatch_rows=1 << 12, carry_accumulator=True,
+                      table_budget_bytes=1)
+    res = SortingCount(cfg).execute(BankStrings(*reads))
+    assert res.info["nb_passes_effective"] > 1
+    assert res.as_dict() == count_kmers_py(reads, 21, abundance_min=1)
