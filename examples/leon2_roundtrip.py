@@ -3,7 +3,8 @@ through the range-coder container format)."""
 import tempfile
 from gatb_core_tpu.compression.leon import LeonCompressor, LeonDecompressor
 
-fastq = tempfile.mktemp(suffix=".fastq")
+_fd, fastq = tempfile.mkstemp(suffix=".fastq")
+import os; os.close(_fd)
 with open(fastq, "w") as f:
     for i, seq in enumerate(["ACGTACGTACGTGGCA", "TTGACCGTAGGCATAT"]):
         f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")

@@ -4,7 +4,8 @@ containers persist through these)."""
 import tempfile
 from gatb_core_tpu.storage.hdf5 import Storage
 
-path = tempfile.mktemp(suffix=".h5")
+_fd, path = tempfile.mkstemp(suffix=".h5")
+import os; os.close(_fd)
 st = Storage(path, "w")
 g = st.group("demo")
 with g.ostream("blob") as os_:

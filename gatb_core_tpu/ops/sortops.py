@@ -911,12 +911,15 @@ def pad_rows_pow2(table: "np.ndarray"):
     return out, n
 
 
-def sweep_chunk(n: int, parts: int = 4, lo: int = 4096,
+def sweep_chunk(n: int, parts: int = 1, lo: int = 4096,
                 hi: int = 1 << 21) -> int:
     """Query-chunk size for table sweeps: ~``parts`` chunks per sweep
-    (each chunk's sort-join re-sorts the whole table, so fewer, larger
-    chunks win), clamped and rounded to a power of two so chunk shapes
-    stay stable across compaction passes."""
+    (each chunk's sort-join re-sorts the whole table AND pays ~1 s of
+    tunnel dispatch latency, so fewer, larger chunks win — r5 default
+    is ONE chunk whenever the table fits under ``hi`` rows; giant
+    tables still split so the 8x-candidate join bounds HBM), clamped
+    and rounded to a power of two so chunk shapes stay stable across
+    compaction passes."""
     t = max(lo, min(hi, -(-max(n, 1) // parts)))
     p = 1
     while p < t:

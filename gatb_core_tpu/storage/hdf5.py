@@ -407,17 +407,34 @@ def load_debloom(storage: Storage, w32: int) -> np.ndarray | None:
     return words64_to_limbs(rec, w32)
 
 
+REF_MPHF_STREAM_MAX_KEYS = 4_000_000
+
+
 def save_mphf(storage: Storage, mphf, abundance_codes: np.ndarray,
               solid_limbs: np.ndarray | None = None,
-              kmer_size: int | None = None) -> None:
+              kmer_size: int | None = None,
+              ref_stream: bool | None = None) -> None:
     """Persist the BooPHF levels + discretized abundance map into /mphf
     (MPHFAlgorithm persistence, kmer/impl/MPHFAlgorithm.cpp:150-330).
     When ``solid_limbs`` is given, additionally write the REFERENCE
     serialization into /dsk/mphf — byte-identical to what the reference
     binary's own build emits (collections/boophf_ref.RefBooPHF.build,
     validated against thirdparty/BooPHF/BooPHF.h save:933-958) — so
-    reference tools can load our .h5's MPHF (VERDICT r3 Missing #4)."""
-    if solid_limbs is not None and kmer_size is not None:
+    reference tools can load our .h5's MPHF (VERDICT r3 Missing #4).
+
+    ``ref_stream``: write that reference /dsk/mphf stream. Default
+    (None) auto-gates at REF_MPHF_STREAM_MAX_KEYS — the RefBooPHF build
+    is a 25-level sequential numpy pass over all keys, minutes of host
+    time at tens of millions of kmers (advisor r4); set True (or env
+    GATB_TPU_MPHF_REF=1) to force it for big-table interop, False to
+    skip (our own loader uses the /mphf group either way)."""
+    if ref_stream is None:
+        import os as _os
+
+        ref_stream = (_os.environ.get("GATB_TPU_MPHF_REF") == "1"
+                      or solid_limbs is None
+                      or len(solid_limbs) <= REF_MPHF_STREAM_MAX_KEYS)
+    if ref_stream and solid_limbs is not None and kmer_size is not None:
         from ..collections.boophf_ref import RefBooPHF, limbs_to_words64
 
         words = limbs_to_words64(np.asarray(solid_limbs, np.uint32),

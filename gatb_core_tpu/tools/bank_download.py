@@ -32,7 +32,10 @@ def download(url: str, out_dir: str = ".") -> str:
             os.unlink(dest + ".part")
         except OSError:
             pass
-        raise SystemExit(f"download failed for {url}: {exc}")
+        # library-level failure is a catchable exception; main() maps it
+        # to the CLI exit (advisor r4: SystemExit here gave programmatic
+        # callers interpreter-exit semantics)
+        raise RuntimeError(f"download failed for {url}: {exc}") from exc
     if dest.endswith(".gz"):        # reference gunzips downloaded banks
         plain = dest[:-3]
         with gzip.open(dest, "rb") as fin, open(plain, "wb") as fout:
@@ -69,7 +72,10 @@ def main(argv=None) -> int:
     p.add_argument("-url", dest="url", required=True)
     p.add_argument("-out", dest="out", default=".")
     args = p.parse_args(argv)
-    dest = download(args.url, args.out)
+    try:
+        dest = download(args.url, args.out)
+    except RuntimeError as exc:
+        raise SystemExit(str(exc))
     stats = annotate(dest)
     print(f"{dest}: {stats}")
     return 0

@@ -27,13 +27,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIR = "/tmp/gatb_stress_r3"
 FASTA = os.path.join(DIR, "stress.fa")
-REF_H5 = os.path.join(DIR, "ref_stress.h5")
-OURS_H5 = os.path.join(DIR, "ours_stress.h5")
 REF_BIN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".ref_build", "bin", "Release", "dbgh5")
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "stress_r3_results.json")
 K, AMIN, MAXMEM = 31, 3, 1500
+# per-k artifact paths (k=31 keeps the historical names so round-3/4
+# artifacts stay valid)
+REF_H5 = os.path.join(DIR, "ref_stress.h5")
+OURS_H5 = os.path.join(DIR, "ours_stress.h5")
+
+
+def set_k(k):
+    global K, REF_H5, OURS_H5
+    K = k
+    sfx = "" if k == 31 else f"_k{k}"
+    REF_H5 = os.path.join(DIR, f"ref_stress{sfx}.h5")
+    OURS_H5 = os.path.join(DIR, f"ours_stress{sfx}.h5")
 # forces nb_passes=3 on our side: passes = (volume/4)/max_disk + 1
 # (ConfigurationAlgorithm.cpp:350 formula; volume ~5.5GB at 720M kmers)
 MAXDISK = 600
@@ -169,7 +179,12 @@ def main():
     ap.add_argument("--phase", default="all")
     ap.add_argument("--reads", type=int, default=6_000_000)
     ap.add_argument("--genome", type=int, default=30_000_000)
+    ap.add_argument("--k", type=int, default=31)
+    ap.add_argument("--json-out", default=None,
+                    help="also write the result row to this path "
+                         "(driver-rerunnable artifact)")
     args = ap.parse_args()
+    set_k(args.k)
     results = {"reads": args.reads, "genome": args.genome, "k": K,
                "abundance_min": AMIN, "max_memory": MAXMEM}
     if args.phase in ("gen", "all"):
@@ -187,6 +202,9 @@ def main():
         results.update(compare(OURS_H5.replace(".h5", "_warm.h5")))
     with open(RESULTS, "a") as f:
         f.write(json.dumps(results) + "\n")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(json.dumps(results) + "\n")
     log("done: " + json.dumps(results))
 
 
