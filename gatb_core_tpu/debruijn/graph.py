@@ -126,6 +126,31 @@ class Graph:
             cfg.superbatch_rows = superbatch_rows
         if table_budget_bytes is not None:
             cfg.table_budget_bytes = table_budget_bytes
+        # RepartitorAlgorithm (Graph.cpp:384) -> /minimizers: the census
+        # is host-only numpy over a bank sample, so it runs on a
+        # background thread CONCURRENTLY with the device counting below
+        # (r5: ~3 s of the stress dbgh5 wall-clock for free)
+        rep_thread = rep_box = None
+        if output is not None and repartition:
+            import threading
+
+            from ..kmer.repartition import build_repartitor
+
+            rep_box = [None, None]
+
+            def _rep():
+                try:
+                    nb_parts = max(1, _plan_partitions(
+                        bank, kmer_size, minimizer_size))
+                    rep_box[0] = build_repartitor(bank, kmer_size,
+                                                  nb_parts,
+                                                  minimizer_size)
+                except BaseException as e:
+                    rep_box[1] = e
+
+            rep_thread = threading.Thread(target=_rep, daemon=True)
+            rep_thread.start()
+
         # Algorithm contract: run() wraps execute() with exec_time + the
         # stopwatch tree (executeAlgorithm, Graph.cpp:242-262)
         dsk = SortingCount(cfg)
@@ -140,15 +165,11 @@ class Graph:
             storage_mod.save_solid(storage, result.solid_kmers,
                                    result.solid_counts, kmer_size)
             storage_mod.save_histogram(storage, result.histogram)
-            if repartition:
-                # RepartitorAlgorithm (Graph.cpp:384) -> /minimizers
-                from ..kmer.repartition import build_repartitor
-
-                nb_parts = max(1, _plan_partitions(bank, kmer_size,
-                                                   minimizer_size))
-                rep = build_repartitor(bank, kmer_size, nb_parts,
-                                       minimizer_size)
-                rep.save(storage)
+            if rep_thread is not None:
+                rep_thread.join()
+                if rep_box[1] is not None:
+                    raise rep_box[1]
+                rep_box[0].save(storage)
 
         graph = cls(kmer_size, result.solid_kmers, result.solid_counts,
                     storage, result.info, mesh=mesh)

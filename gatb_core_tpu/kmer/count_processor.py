@@ -295,8 +295,27 @@ class CountProcessorCollect(CountProcessor):
         kk = np.concatenate(self.kmers)
         cc = np.concatenate(self.counts)
         ss = np.concatenate(self.sums)
-        if len(self.kmers) > 1:  # multi-pass: restore global value order
+        # blocks are each sorted; the concatenation is already globally
+        # sorted iff every block boundary is ordered (true for the
+        # streamed same-pass chunks — only multi-pass minimizer
+        # interleaving needs the 30M-row lexsort, ~6 s at stress scale)
+        if len(self.kmers) > 1 and not self._boundaries_sorted():
             order = np.lexsort(tuple(kk[:, j] for j in
                                      range(kk.shape[1] - 1, -1, -1)))
             kk, cc, ss = kk[order], cc[order], ss[order]
         return kk, cc, ss
+
+    def _boundaries_sorted(self) -> bool:
+        prev_last = None
+        for blk in self.kmers:
+            if len(blk) == 0:
+                continue
+            if prev_last is not None:
+                first = blk[0]
+                for a, b in zip(prev_last, first):  # big-endian limb lex
+                    if a < b:
+                        break
+                    if a > b:
+                        return False
+            prev_last = blk[-1]
+        return True

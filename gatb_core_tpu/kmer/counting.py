@@ -149,6 +149,20 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _vmask_dense(vmask: np.ndarray, lengths: np.ndarray) -> bool:
+    """True iff a packed validity bitmask is exactly the all-in-length
+    pattern (no N bases): MSB-first words, expected word j of a read of
+    length len = 0xFFFFFFFF << (32 - clip(len - 32j, 0, 32)). Dense
+    batches upload None instead of the masks — on a clean bank the
+    masks are ~1/3 of the packed transfer bytes."""
+    nv = vmask.shape[1]
+    j32 = (np.arange(nv, dtype=np.int64) * 32)[None, :]
+    rem = np.clip(lengths[:, None].astype(np.int64) - j32, 0, 32)
+    exp = ((np.uint64(0xFFFFFFFF) << (32 - rem).astype(np.uint64))
+           & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.array_equal(vmask, exp)
+
+
 def _prefetch(gen, depth: int = 4):
     """Run a generator on a background thread with a bounded queue.
 
@@ -368,7 +382,8 @@ def _empty_table_jit(*, w: int, cap: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "nb_passes", "spare",
-                                    "packed", "L", "blocked", "cap_acc"))
+                                    "packed", "L", "blocked", "cap_acc"),
+                   donate_argnums=(4, 5))
 def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
                            acc_counts, acc_n, reset, *, k: int, m: int,
                            nb_passes: int, spare: bool,
@@ -670,8 +685,8 @@ class SortingCount(Algorithm):
 
         def fold_dispatch(codes, valid, lengths, pass_i, count_stats,
                           g_len):
-            if fold["p"] is None:
-                fold_arrays(cap0)
+            if fold["p"] is None:   # fresh pass keeps any grown capacity
+                fold_arrays(max(fold["cap"], cap0))
             out = _superbatch_count_fold(
                 codes, valid, lengths, jnp.int32(pass_i),
                 fold["p"], fold["c"], fold["n"],
@@ -686,7 +701,9 @@ class SortingCount(Algorithm):
             fold["reset"] = False
             pending.append((ovf, nv, ni, (codes, valid, lengths),
                             pass_i, count_stats, g_len))
-            while len(pending) > 3:
+            # window 2 (not the LSM path's 3): each in-flight fold keeps
+            # a full acc generation (~cap_acc rows) alive in HBM
+            while len(pending) > 2:
                 fold_resolve(pending.pop(0))
 
         def fold_resolve(item):
@@ -756,6 +773,10 @@ class SortingCount(Algorithm):
                     host_tables[pass_i] = _StreamedTable(
                         fold["p"], fold["c"], n, w,
                         chunk_rows=cfg.fetch_chunk_rows)
+            # the streamed fetch still reads these buffers and the fold
+            # dispatch DONATES its acc arguments, so the next pass must
+            # start from fresh arrays, not reuse-with-reset
+            fold["p"] = fold["c"] = fold["n"] = None
             fold["reset"] = True
 
         def resolve(item):
@@ -838,11 +859,19 @@ class SortingCount(Algorithm):
                                   np.zeros((B,), np.int32), 0))
             with ti.section("1.stack"):
                 codes = jnp.asarray(np.stack([b[0] for b in group]))
-                valid = jnp.asarray(np.stack([b[1] for b in group]))
+                # dense transfer (fold+packed): a clean bank's all-ones
+                # validity masks are ~1/3 of the upload bytes — send
+                # None and let extraction use the in-length rule
+                if use_fold and packed and all(
+                        _vmask_dense(b[1], b[2]) for b in group):
+                    valid = None
+                else:
+                    valid = jnp.asarray(np.stack([b[1] for b in group]))
                 lengths = jnp.asarray(np.stack([b[2] for b in group]))
             nonlocal_cache = bank_cache
             if nonlocal_cache is not None and pass_i == 0:
-                nb = codes.nbytes + valid.nbytes + lengths.nbytes
+                nb = codes.nbytes + lengths.nbytes \
+                    + (0 if valid is None else valid.nbytes)
                 if cache_bytes[0] + nb <= cfg.bank_cache_bytes:
                     nonlocal_cache.append((codes, valid, lengths))
                     cache_bytes[0] += nb

@@ -149,7 +149,12 @@ def extract_kmers_packed(words: jnp.ndarray, vmask: jnp.ndarray,
 
     The limb extraction consumes the packed words directly (they ARE the
     internal stream _window_limbs builds), so the device never
-    materializes byte codes unless minimizers are requested."""
+    materializes byte codes unless minimizers are requested.
+
+    ``vmask=None`` declares every in-length base valid (the dense
+    transfer mode, r5): a clean bank's all-ones masks are ~1/3 of the
+    packed upload over the ~33 MB/s tunnel, so the host sends None and
+    window validity reduces to the in-read position check."""
     B = words.shape[0]
     if L < k:
         raise ValueError(f"padded length {L} < k={k}")
@@ -161,7 +166,9 @@ def extract_kmers_packed(words: jnp.ndarray, vmask: jnp.ndarray,
                                         with_minimizers)
 
         out = jax.lax.map(one, (words.reshape(nchunk, -1, words.shape[1]),
-                                vmask.reshape(nchunk, -1, vmask.shape[1]),
+                                None if vmask is None
+                                else vmask.reshape(nchunk, -1,
+                                                   vmask.shape[1]),
                                 lengths.reshape(nchunk, -1)))
         return KmerBatch(
             out.kmers.reshape(B, *out.kmers.shape[2:]),
@@ -173,14 +180,18 @@ def extract_kmers_packed(words: jnp.ndarray, vmask: jnp.ndarray,
     revs = revcomp_limbs_(fwds, k)
     canon = jnp.where(lex_lt(fwds, revs)[..., None], fwds, revs)
 
-    valid = unpack_valid(vmask, L)
-    inval = (~valid).astype(jnp.int32)
-    cum = jnp.cumsum(inval, axis=1)
-    cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum], axis=1)
-    window_bad = cum[:, k:] - cum[:, :P]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     inside = pos + k <= lengths[:, None]
-    kvalid = (window_bad == 0) & inside
+    if vmask is None:        # dense mode: in-length bases are all valid
+        kvalid = inside
+    else:
+        valid = unpack_valid(vmask, L)
+        inval = (~valid).astype(jnp.int32)
+        cum = jnp.cumsum(inval, axis=1)
+        cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum],
+                              axis=1)
+        window_bad = cum[:, k:] - cum[:, :P]
+        kvalid = (window_bad == 0) & inside
 
     if with_minimizers:
         minim = _minimizers(unpack_codes(words, L), k, m, freq_order)

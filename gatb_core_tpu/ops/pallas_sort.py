@@ -201,19 +201,66 @@ def _tile_merge_kernel(*refs, w: int, rows: int):
         r[:] = x
 
 
-def _merge_sorted_runs(limbs, run: int, stop_j: int = 1):
+def _merge_sorted_runs(limbs, run: int, stop_j: int = 1,
+                       style: str | None = None):
     """Bitonic merge level stages in XLA: pairs of adjacent ascending runs
     of length ``run`` -> compare-exchange stages j = run, run/2, ...,
     stop_j. With stop_j == 1 this completes the merge (ascending runs of
     2*run); with stop_j > 1 the remaining j < stop_j stages are left for
-    the fused Pallas intra-tile sweep. Pure elementwise ops, no sort."""
+    the fused Pallas intra-tile sweep. Pure elementwise ops, no sort.
+
+    Two equivalent stage formulations (same network, same values):
+
+    - 'reshape' (CPU default): the (pairs, blocks, 2, j) strided view —
+      fastest under XLA:CPU fusion, but on TPU the tiny trailing dims
+      get padded to (8, 128) tiles, which blew a 1.09 GB stress-scale
+      merge up to a 36 GB HLO-temp requirement (r5 OOM).
+    - 'roll2d' (TPU default): planes viewed as (n/128, 128) — a stage's
+      XOR partner (i+j for bit-j-clear lanes, i-j for bit-j-set) comes
+      from one forward and one backward jnp.roll along the row axis
+      (j >= 128) or the lane axis (j < 128); the lanes that would wrap
+      across block boundaries are exactly the lanes using the other
+      roll. Both dims stay tile-sized, so no layout padding.
+    """
     n = limbs[0].shape[0]
     pairs = n // (2 * run)
+    if style is None:
+        style = "roll2d" if jax.default_backend() != "cpu" \
+            and n % 128 == 0 else "reshape"
     # second run of each pair reversed -> bitonic sequence of length 2*run
     xs = []
     for x in limbs:
         v = x.reshape(pairs, 2, run)
         xs.append(jnp.concatenate([v[:, 0], v[:, 1, ::-1]], axis=1))
+    stop_j = max(stop_j, 1)
+    if style == "roll2d":
+        L = 128
+        rows = n // L
+        x2 = [x.reshape(rows, L) for x in xs]
+        row_idx = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+        lane_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, L), 1)
+        j = run
+        while j >= stop_j:
+            if j >= L:
+                r = j // L
+                is_lo = (row_idx & jnp.uint32(r)) == 0
+                partner = tuple(jnp.where(is_lo,
+                                          jnp.roll(x, -r, axis=0),
+                                          jnp.roll(x, r, axis=0))
+                                for x in x2)
+            else:
+                is_lo = (lane_idx & jnp.uint32(j)) == 0
+                partner = tuple(jnp.where(is_lo,
+                                          jnp.roll(x, -j, axis=1),
+                                          jnp.roll(x, j, axis=1))
+                                for x in x2)
+            lt, _ = _lex_lt_limbs(tuple(x2), partner)
+            # lo lane keeps min, hi lane keeps max: keep own value iff
+            # (lo and a<p) or (hi and not a<p)
+            keep = is_lo == lt
+            x2 = [jnp.where(keep, a, p) for a, p in zip(x2, partner)]
+            j //= 2
+        return tuple(x.reshape(n) for x in x2)
     j = run
     while j >= stop_j:
         ys = [x.reshape(pairs, (2 * run) // (2 * j), 2, j) for x in xs]

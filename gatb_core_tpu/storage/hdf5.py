@@ -97,11 +97,21 @@ class Group:
     def get_property(self, key: str, default=None):
         return self._g.attrs.get(key, default)
 
+    # gzip only small datasets: the reference stores every collection
+    # UNCOMPRESSED (verified on its dbgh5 output), and gzip-1 on a
+    # 233 MB stress solid table cost ~13 s of the dbgh5 wall-clock —
+    # pure loss against the reference's contiguous write
+    COMPRESS_MAX_BYTES = 8 << 20
+
     def set_dataset(self, name: str, data: np.ndarray) -> None:
         if name in self._g:
             del self._g[name]
-        self._g.create_dataset(name, data=data, compression="gzip",
-                               compression_opts=1)
+        data = np.asarray(data)
+        if data.nbytes <= self.COMPRESS_MAX_BYTES:
+            self._g.create_dataset(name, data=data, compression="gzip",
+                                   compression_opts=1)
+        else:
+            self._g.create_dataset(name, data=data)
 
     def get_dataset(self, name: str) -> np.ndarray | None:
         if name not in self._g:

@@ -123,10 +123,12 @@ def main(argv=None) -> int:
     nb_passes = _plan_nb_passes(args)
     # bound live extraction rows by the memory budget: a sorted superbatch
     # costs ~32 B/row (limb planes + validity + sort temporaries). The
-    # cap is 1<<25 (r4: fewer, larger superbatches amortize the ~0.5 s
-    # of per-dispatch fixed cost — upload round trip, resolve sync —
-    # that dominated the stress warm fill gap)
-    superbatch_rows = min(1 << 25,
+    # cap is 1<<26 (r5: with the fused count+fold path a superbatch is
+    # ONE dispatch, so fewer, larger superbatches directly cut the
+    # ~0.5 s per-dispatch tunnel overhead; the fold's merge transients
+    # at 2^27 rows fit comfortably since the roll2d merge removed the
+    # 32x layout padding)
+    superbatch_rows = min(1 << 26,
                           max(1 << 16, args.max_memory * (1 << 20) // 32))
     # size the batch row length from the bank's sampled max read length
     # (r4): a short-read bank padded to the default 256 columns wastes
