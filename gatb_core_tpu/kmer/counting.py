@@ -1260,11 +1260,20 @@ class _StreamedTable:
                                        chunk=chunk) for s in starts]
 
         def pull():
+            import os as _os
+            import time as _time
+
+            dbg = _os.environ.get("GATB_TPU_DEBUG_FETCH") == "1"
             try:
                 for s, pk in zip(starts, packs):
                     rows = min(self.n - s, chunk)
+                    t0 = _time.time()
                     stacked, c8, n_exc, exc_pos, exc_val = \
                         jax.device_get(pk)
+                    if dbg:
+                        mb = (stacked.nbytes + c8.nbytes) / 1e6
+                        print(f"[fetch] chunk@{s}: {mb:.0f} MB in "
+                              f"{_time.time() - t0:.2f}s", flush=True)
                     ne = int(n_exc)
                     if ne > exc_pos.shape[0]:
                         # pathological count distribution: exact fetch

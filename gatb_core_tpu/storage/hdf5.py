@@ -235,6 +235,47 @@ def save_solid(storage: Storage, kmers_limbs: np.ndarray,
     storage.set_state_bit(STATE_SORTING_COUNT_DONE)
 
 
+def _read_count_records(ds) -> np.ndarray:
+    """Read one Count dataset, tolerating the reference's >64-bit value
+    fields. At k>32 spans the reference writes `value` as an HDF5
+    native int128/int256 (LargeInt<words>, CountProcessorDump.hpp:94)
+    which h5py cannot map to a numpy dtype ('<i16' TypeError); the raw
+    chunk bytes are then parsed directly — value = little-endian u64
+    words at offset 0, abundance i32 after them (+ struct padding)."""
+    try:
+        return ds[...]
+    except TypeError:
+        pass
+    sid = ds.id
+    t = sid.get_type()
+    itemsize = t.get_size()
+    val_bytes = t.get_member_type(0).get_size()
+    words = val_bytes // 8
+    n = ds.shape[0]
+    import zlib
+
+    plist = sid.get_create_plist()
+    if plist.get_layout() == 2:     # chunked
+        chunks = []
+        for ci in range(sid.get_num_chunks()):
+            info = sid.get_chunk_info(ci)
+            _, raw = sid.read_direct_chunk(info.chunk_offset)
+            if ds.compression == "gzip":
+                raw = zlib.decompress(raw)
+            chunks.append((info.chunk_offset[0], raw))
+        chunks.sort()
+        buf = b"".join(raw for _, raw in chunks)
+    else:                            # contiguous
+        off = sid.get_offset()
+        with open(ds.file.filename, "rb") as f:
+            f.seek(off)
+            buf = f.read(n * itemsize)
+    dt = np.dtype({"names": ["value", "abundance"],
+                   "formats": [("<u8", (words,)), "<i4"],
+                   "offsets": [0, val_bytes], "itemsize": itemsize})
+    return np.frombuffer(buf, dtype=dt)[:n]
+
+
 def load_solid(storage: Storage):
     """Read /dsk/solid back as (limbs uint32 (N,W32), counts int32).
 
@@ -250,7 +291,8 @@ def load_solid(storage: Storage):
     node = dsk._g.get("solid")
     if isinstance(node, h5py.Group):  # reference partition layout
         parts = sorted(node.keys(), key=int)
-        rec = np.concatenate([node[p][...] for p in parts]) if parts \
+        rec = np.concatenate([_read_count_records(node[p])
+                              for p in parts]) if parts \
             else np.zeros(0, count_dtype(max(1, (k + 31) // 32)))
         vals = rec["value"]
         if vals.ndim == 1:

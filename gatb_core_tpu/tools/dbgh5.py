@@ -123,12 +123,11 @@ def main(argv=None) -> int:
     nb_passes = _plan_nb_passes(args)
     # bound live extraction rows by the memory budget: a sorted superbatch
     # costs ~32 B/row (limb planes + validity + sort temporaries). The
-    # cap is 1<<26 (r5: with the fused count+fold path a superbatch is
-    # ONE dispatch, so fewer, larger superbatches directly cut the
-    # ~0.5 s per-dispatch tunnel overhead; the fold's merge transients
-    # at 2^27 rows fit comfortably since the roll2d merge removed the
-    # 32x layout padding)
-    superbatch_rows = min(1 << 26,
+    # cap is 1<<25 — measured at stress scale (r5): 1<<26 halves the
+    # dispatch count but each fold then merges a 2^27-row window against
+    # a 2x-oversized accumulator, costing MORE than the saved ~0.5 s/
+    # dispatch tunnel overhead (warm 68.8 s vs 65.0 s at 1<<25)
+    superbatch_rows = min(1 << 25,
                           max(1 << 16, args.max_memory * (1 << 20) // 32))
     # size the batch row length from the bank's sampled max read length
     # (r4): a short-read bank padded to the default 256 columns wastes
