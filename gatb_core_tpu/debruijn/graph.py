@@ -528,7 +528,13 @@ class Graph:
         from .simplifications import Simplifications
 
         t0 = _t.time()
-        stats = Simplifications(self, verbose=verbose).simplify()
+        simp = Simplifications(self, verbose=verbose)
+        stats = simp.simplify()
+        # keep the instance: its full-table candidate sweep and final
+        # compaction serve the Monument engine (assemble_contigs) with
+        # zero re-sweeps (r5: the duplicate sweep was 11.4 of reads3's
+        # 15.9 s Monument wall)
+        self._simplifications = simp
         self.info["postsolid_time.simplify"] = round(_t.time() - t0, 3)
         return stats
 

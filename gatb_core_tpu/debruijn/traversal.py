@@ -535,7 +535,11 @@ def assemble_contigs(graph, traversal: str = "monument",
         from .simplifications import Simplifications
 
         live = ~(graph.node_state & 1).astype(bool)
-        simp = Simplifications(graph)
+        # reuse the simplify run's instance: its cached full-table
+        # candidate sweep (and usually its final compaction) make this
+        # a zero-sweep call (graph.simplify stores it)
+        simp = getattr(graph, "_simplifications", None) \
+            or Simplifications(graph)
         us, ug = simp._compact(graph.solid_limbs[live],
                                graph.solid_counts[live])
         # the compaction's full-table sweep doubles as the view's
