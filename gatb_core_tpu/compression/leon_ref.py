@@ -513,26 +513,39 @@ class _DnaEncoder:
         return (kmer >> 2) | (nt << (2 * (self.k - 1)))
 
     def _find_anchor(self, read: str):
-        """First N-free kmer window that is an existing anchor, else the
-        first N-free window (anchors need not be solid for correctness —
-        the dict is the authority; Leon.cpp findAndInsertAnchor prefers
-        solid ones for prediction quality only)."""
+        """Reference anchor policy (r5, closes the size gap vs the
+        reference binary): first any EXISTING anchor across all windows
+        (DnaEncoder::findExistingAnchor, DnaCoder.cpp:563-577); else
+        insert a SOLID (bloom-contained) kmer, preferring the mid-read
+        window [n/2, n/2+10) then [0, n/2) then [n/2+10, end)
+        (Leon::findAndInsertAnchor, Leon.cpp:1105-1190 — mid anchors
+        predict both directions); else None -> no-anchor read. The r4
+        encoder inserted the first N-free window even when non-solid,
+        growing the anchor dict with unpredictable kmers (~+10% size)."""
         k = self.k
         n = len(read)
-        first_clean = None
-        for i in range(n - k + 1):
+        nk = n - k + 1
+        wins: list = [None] * nk
+        for i in range(nk):
             w = read[i:i + k]
             if "N" in w:
                 continue
             fwd = 0
             for c in w:
                 fwd = (fwd << 2) | NT2BIN[c]
-            canon = min(fwd, _revcomp(fwd, k))
-            if canon in self.anchor_index:
-                return i, fwd, canon
-            if first_clean is None:
-                first_clean = (i, fwd, canon)
-        return first_clean
+            wins[i] = (i, fwd, min(fwd, _revcomp(fwd, k)))
+        for win in wins:
+            if win is not None and win[2] in self.anchor_index:
+                return win
+        i_min = max(nk // 2, 0)
+        i_max = min(i_min + 10, nk)
+        order = list(range(i_min, i_max)) + list(range(0, i_min)) \
+            + list(range(i_max, nk))
+        for i in order:
+            win = wins[i]
+            if win is not None and self.bloom.contains(win[2]):
+                return win
+        return None
 
     def _anchor_address(self, canon: int) -> int:
         if canon not in self.anchor_index:

@@ -146,25 +146,39 @@ def build_debloom(solid_limbs: np.ndarray, k: int,
         csize = min(sweep_chunk(max(n, 1)), len(ptab))
         if chunk:                   # caller-imposed bound
             csize = min(csize, chunk)
+        from ..ops.sortops import _next_pow2 as _np2
+
+        # expected cFP rate is a few % of the 8 probes/node; overflow
+        # doubles the capacity and retries (exact either way)
+        cap_out = _np2(max(4096, (csize * 8) // 32))
         for i in range(0, n, csize):
             part = solid_limbs[i:i + csize]
             npart = len(part)
             if npart < csize:
+                # pad rows REPEAT row 0 (not all-zero fake kmers): their
+                # candidate hits are either dups of row 0's (deduped on
+                # device) or bloom misses
                 part = np.concatenate(
-                    [part, np.zeros((csize - npart, w), np.uint32)])
-            hits, cands = _debloom_probe(
-                jnp.asarray(part), jtab, jnp.int32(n), bloom.words,
-                k=k, size_bits=bloom.size_bits, n_hash=bloom.n_hash,
-                seed=user_seed, kind=bloom.kind)
-            hits = np.asarray(hits).reshape(csize, 8)[:npart]
-            cands = np.asarray(cands).reshape(csize, 8, w)[:npart]
-            sel = hits.reshape(-1)
-            if sel.any():
-                cfp_parts.append(cands.reshape(-1, w)[sel])
+                    [part, np.broadcast_to(part[:1],
+                                           (csize - npart, w))])
+            while True:
+                out_p, n_hit, ovf = _debloom_probe_compact(
+                    jnp.asarray(part), jtab, jnp.int32(n), bloom.words,
+                    k=k, size_bits=bloom.size_bits,
+                    n_hash=bloom.n_hash, seed=user_seed,
+                    kind=bloom.kind, cap_out=cap_out)
+                if not bool(np.asarray(ovf)):
+                    break
+                cap_out *= 2
+            nh = int(np.asarray(n_hit))
+            if nh:
+                cfp_parts.append(np.stack(
+                    [np.asarray(p[:nh]) for p in out_p], axis=1))
 
         if cfp_parts:
             allc = np.concatenate(cfp_parts, axis=0)
-            cfp = np.unique(allc, axis=0)
+            cfp = np.unique(allc, axis=0) if len(cfp_parts) > 1 \
+                else allc
         else:
             cfp = np.zeros((0, w), np.uint32)
 
@@ -204,6 +218,32 @@ def _debloom_probe(nodes, table, n_table, bloom_words, *, k: int,
                                seed, kind, k)
     _, solid = rank_join_traced(table, flat, n_table)
     return in_bloom & ~solid, cands
+
+
+@functools.partial(jax.jit, static_argnames=("k", "size_bits", "n_hash",
+                                             "seed", "kind", "cap_out"))
+def _debloom_probe_compact(nodes, table, n_table, bloom_words, *, k: int,
+                           size_bits: int, n_hash: int, seed: int,
+                           kind: str, cap_out: int):
+    """_debloom_probe + on-device dedup/compaction of the cFP hits (r5):
+    the r4 path fetched ALL (C, 8, W) candidates (~72 MB at 1M nodes
+    over the ~33 MB/s tunnel) and np.unique'd them on host; here the
+    hit rows sort/dedup on device and only the (cap_out, W) distinct
+    cFP table is fetched. Returns (planes, n, overflow)."""
+    from ..collections.bloom import _bloom_contains
+    from ..ops.sortops import count_planes, rank_join_traced
+
+    cands = neighbor_candidates(nodes, k)
+    c, _, w = cands.shape
+    flat = cands.reshape(c * 8, w)
+    in_bloom = _bloom_contains(bloom_words, flat, size_bits, n_hash,
+                               seed, kind, k)
+    _, solid = rank_join_traced(table, flat, n_table)
+    hit = in_bloom & ~solid
+    planes = tuple(flat[:, j] for j in range(w))
+    out_p, _, n, ovf = count_planes(planes, hit, spare_bits=True,
+                                    cap_out=cap_out)
+    return out_p, n, ovf
 
 
 class BloomCfpContainer:
