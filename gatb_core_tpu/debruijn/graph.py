@@ -239,6 +239,10 @@ class Graph:
             if rec is not None:
                 graph._branching = storage_mod.words64_to_limbs(
                     rec["value"], graph._w)
+                # counts ride in the same record (dbgcheck reads them;
+                # r5 bug: loaded graphs lacked _branching_counts)
+                graph._branching_counts = \
+                    rec["abundance"].astype(np.int32)
         if storage.check_state(STATE_ADJACENCY_DONE):
             adj = storage.group("adjacency").get_dataset("masks")
             if adj is not None:

@@ -122,13 +122,19 @@ def main(argv=None) -> int:
     # fillSolidKmers memory guards (SortingCountAlgorithm.cpp:1500-1540)
     nb_passes = _plan_nb_passes(args)
     # bound live extraction rows by the memory budget: a sorted superbatch
-    # costs ~32 B/row (limb planes + validity + sort temporaries). The
-    # cap is 1<<25 — measured at stress scale (r5): 1<<26 halves the
-    # dispatch count but each fold then merges a 2^27-row window against
-    # a 2x-oversized accumulator, costing MORE than the saved ~0.5 s/
-    # dispatch tunnel overhead (warm 68.8 s vs 65.0 s at 1<<25)
+    # costs ~16*W B/row (limb planes + sort temporaries). The cap is
+    # 1<<25 for every span — measured at stress scale (r5): 1<<26
+    # halves the dispatch count but each fold then merges a 2^27-row
+    # window against a 2x-oversized accumulator (warm 68.8 s vs
+    # 65.0 s), and W-scaling the cap DOWN for k=63 (1<<24) bought only
+    # 121.4 -> 111.0 s warm while doubling the dispatch/compile count
+    # (cold 217 -> 477 s) — the fixed cap is the better cold/warm
+    # compromise on this tunnel
+    w_limbs = (2 * args.kmer_size + 31) // 32
     superbatch_rows = min(1 << 25,
-                          max(1 << 16, args.max_memory * (1 << 20) // 32))
+                          max(1 << 16,
+                              args.max_memory * (1 << 20)
+                              // (16 * w_limbs)))
     # size the batch row length from the bank's sampled max read length
     # (r4): a short-read bank padded to the default 256 columns wastes
     # ~40% of the sort rows on invalid padding WINDOWS (rows = L-k+1 per
