@@ -382,13 +382,14 @@ def _empty_table_jit(*, w: int, cap: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "m", "nb_passes", "spare",
-                                    "packed", "L", "blocked", "cap_acc"),
+                                    "packed", "L", "blocked", "cap_acc",
+                                    "cap_out"),
                    donate_argnums=(4, 5))
 def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
                            acc_counts, acc_n, reset, *, k: int, m: int,
                            nb_passes: int, spare: bool,
                            packed: bool, L: int | None, blocked: bool,
-                           cap_acc: int):
+                           cap_acc: int, cap_out: int | None = None):
     """Fused count+fold superbatch step (r5): extraction + raw sort +
     ONE bitonic-merge level against the device-resident accumulated
     table + a single distinct reduce, all in one dispatch.
@@ -409,14 +410,26 @@ def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
     note). ``reset`` (traced bool) treats the incoming acc as empty so a
     new pass can reuse the previous pass's arrays without re-allocating.
 
-    Transactional: if the folded distinct count overflows cap_acc, the
-    incoming acc is returned unchanged (the host replays this superbatch
-    on a grown accumulator). Replaces the reference's per-partition
-    sort + 453-way KxmerPointer merge (PartitionsCommand.cpp:1206-1227,
-    1600-1800) with sort + merge-network + scan reduce.
+    Two fold shapes, selected by the driver from the measured
+    distinct/rows ratio:
 
-    Returns (acc_planes', acc_counts', acc_n', overflow, n_valid,
-    n_inside)."""
+    - ``cap_out=None`` (raw mode, high-ratio banks like the 30M-stress):
+      the sorted raw rows pad to cap_acc and merge directly — no
+      intermediate compaction, merge cost O(cap_acc)=O(rows).
+    - ``cap_out=C`` (compact mode, coverage-heavy banks): the raw rows
+      first reduce to their distinct table at capacity C, then THAT
+      merges with the acc — merge cost O(max(cap_acc, C)) = O(distinct),
+      which at 30x coverage is ~20x less than O(rows) (the r5 raw-only
+      fold regressed the bench e2e 4x this way).
+
+    Transactional: if either capacity overflows, the incoming acc is
+    returned unchanged (the host replays this superbatch with grown
+    capacities). Replaces the reference's per-partition sort + 453-way
+    KxmerPointer merge (PartitionsCommand.cpp:1206-1227, 1600-1800)
+    with sort + merge-network + scan reduce.
+
+    Returns (acc_planes', acc_counts', acc_n', flags (2,) int32
+    [out_ovf, acc_ovf], n_local, n_valid, n_inside)."""
     from ..ops.kmer_ops import extract_kmers_packed
     from ..ops.pallas_sort import _merge_sorted_runs
     from ..ops.sortops import count_sorted_planes
@@ -444,8 +457,8 @@ def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
     n_valid = jnp.sum(nvs)
     n_inside = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
     rows = flat[0].shape[0]
-    if rows > cap_acc:
-        raise ValueError(f"fold: superbatch rows {rows} > cap_acc "
+    if cap_out is None and rows > cap_acc:
+        raise ValueError(f"fold(raw): superbatch rows {rows} > cap_acc "
                          f"{cap_acc}")
     # sentinel-encode invalid windows (canonical kmers are never
     # all-ones) and sort the raw rows — the sort that any counting
@@ -453,33 +466,61 @@ def _superbatch_count_fold(codes, valid, lengths, pass_i, acc_planes,
     enc = tuple(jnp.where(fv, p, jnp.uint32(0xFFFFFFFF)) for p in flat)
     nv = jnp.sum(fv).astype(jnp.int32)
     sraw = jax.lax.sort(enc, num_keys=w)
-    pad = cap_acc - rows
-    if pad:
-        sraw = tuple(jnp.concatenate(
-            [p, jnp.full((pad,), jnp.uint32(0xFFFFFFFF))]) for p in sraw)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap_acc,), 0)
-    raw_w = jnp.where(ridx < nv, jnp.int32(1), jnp.int32(0))
+    if cap_out is not None:
+        # compact-first: reduce the raw rows to their distinct table
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (rows,), 0)
+        raw_p, raw_c, n_loc, ovf_out = count_sorted_planes(
+            sraw, sidx >= nv, cap_out=cap_out, blocked=blocked)
+        n_new = jnp.minimum(n_loc, jnp.int32(cap_out))
+        run = max(cap_acc, cap_out)
+    else:
+        raw_p, raw_c = sraw, None
+        n_loc = nv
+        n_new = nv
+        ovf_out = jnp.bool_(False)
+        run = cap_acc
+    # pad both sorted runs to a common pow2 length
+    padn = run - raw_p[0].shape[0]
+    if padn:
+        raw_p = tuple(jnp.concatenate(
+            [p, jnp.full((padn,), jnp.uint32(0xFFFFFFFF))])
+            for p in raw_p)
+        if raw_c is not None:
+            raw_c = jnp.concatenate([raw_c, jnp.zeros((padn,),
+                                                      jnp.int32)])
+    if raw_c is None:
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (run,), 0)
+        raw_c = jnp.where(ridx < nv, jnp.int32(1), jnp.int32(0))
     # effective acc (reset => empty); rows past acc_n are sentinels by
     # construction of the reduce below
     acc_n_eff = jnp.where(reset, jnp.int32(0), acc_n)
     accp = tuple(jnp.where(reset, jnp.uint32(0xFFFFFFFF), p)
                  for p in acc_planes)
     accc = jnp.where(reset, jnp.int32(0), acc_counts)
+    pada = run - cap_acc
+    if pada:
+        accp = tuple(jnp.concatenate(
+            [p, jnp.full((pada,), jnp.uint32(0xFFFFFFFF))])
+            for p in accp)
+        accc = jnp.concatenate([accc, jnp.zeros((pada,), jnp.int32)])
     # ONE bitonic merge level over the two sorted runs; counts ride as
     # the least-significant key plane (summed per run downstream, so
     # their order within equal-kmer runs is irrelevant)
-    cat = tuple(jnp.concatenate([a, b]) for a, b in zip(accp, sraw))
-    catw = jnp.concatenate([accc, raw_w]).astype(jnp.uint32)
-    merged = _merge_sorted_runs(cat + (catw,), run=cap_acc, stop_j=1)
-    midx = jax.lax.broadcasted_iota(jnp.int32, (2 * cap_acc,), 0)
-    inv = midx >= (acc_n_eff + nv)
-    out_p, out_c, n2, ovf = count_sorted_planes(
+    cat = tuple(jnp.concatenate([a, b]) for a, b in zip(accp, raw_p))
+    catw = jnp.concatenate([accc, raw_c]).astype(jnp.uint32)
+    merged = _merge_sorted_runs(cat + (catw,), run=run, stop_j=1)
+    midx = jax.lax.broadcasted_iota(jnp.int32, (2 * run,), 0)
+    inv = midx >= (acc_n_eff + n_new)
+    out_p, out_c, n2, ovf_acc = count_sorted_planes(
         merged[:w], inv, weights=merged[w].astype(jnp.int32),
         cap_out=cap_acc, blocked=blocked)
-    keep_p = tuple(jnp.where(ovf, a, b) for a, b in zip(accp, out_p))
-    keep_c = jnp.where(ovf, accc, out_c)
+    ovf = ovf_out | ovf_acc
+    keep_p = tuple(jnp.where(ovf, a[:cap_acc], b)
+                   for a, b in zip(accp, out_p))
+    keep_c = jnp.where(ovf, accc[:cap_acc], out_c)
     keep_n = jnp.where(ovf, acc_n_eff, n2)
-    return keep_p, keep_c, keep_n, ovf, n_valid, n_inside
+    flags = jnp.stack([ovf_out, ovf_acc]).astype(jnp.int32)
+    return keep_p, keep_c, keep_n, flags, n_loc, n_valid, n_inside
 
 
 
@@ -674,7 +715,7 @@ class SortingCount(Algorithm):
                 use_fold = False  # tiny budget: LSM compacts per batch
         fold = {"p": None, "c": None, "n": None, "cap": 0,
                 "reset": True, "parked": [], "replay": [],
-                "growing": False}
+                "growing": False, "n_known": 0, "used": False}
         cap_budget = max(_next_pow2(budget_rows), 1024)
 
         def fold_arrays(cap: int):
@@ -682,11 +723,52 @@ class SortingCount(Algorithm):
                 w=w, cap=cap)
             fold["cap"] = cap
             fold["reset"] = False
+            fold["used"] = False
+
+        def fold_park_and_grow(newcap: int):
+            """Drain the window, park the committed acc, continue on a
+            fresh accumulator of ``newcap`` rows (parked accs fold back
+            in at pass end — proactive growth, no replays)."""
+            if newcap > cap_budget:
+                raise _RePlan(nb_passes)
+            while pending:
+                fold_resolve(pending.pop(0))
+            if fold["p"] is not None and fold["used"]:
+                fold["parked"].append((fold["p"], fold["c"], fold["n"]))
+            fold_arrays(newcap)
+
+        def fold_caps(rows: int):
+            """(cap_out | None, capR) for a superbatch of ``rows`` raw
+            rows: compact-first when the learned distinct ratio says the
+            per-superbatch table is far below the raw row count."""
+            capR = _next_pow2(max(rows, 256))
+            est = dedup_ratio["est"]
+            co = _next_pow2(max(256, min(rows, int(rows * est * 1.5))))
+            return (co if co <= capR // 4 else None), capR
 
         def fold_dispatch(codes, valid, lengths, pass_i, count_stats,
                           g_len):
-            if fold["p"] is None:   # fresh pass keeps any grown capacity
-                fold_arrays(max(fold["cap"], cap0))
+            rows = codes.shape[0] * rows_per_batch
+            cap_out_d, capR = fold_caps(rows)
+            if fold["p"] is None:
+                # fresh pass: raw mode needs room for the raw rows;
+                # compact mode sizes from the distinct estimate with 4x
+                # headroom; a previous pass's grown capacity is kept
+                init = capR if cap_out_d is None else \
+                    min(capR, max(4 * cap_out_d, 1 << 12))
+                fold_arrays(max(fold["cap"], init))
+            elif cap_out_d is None and fold["cap"] < capR:
+                # mode flipped to raw mid-run: the acc must hold raw rows
+                fold_park_and_grow(capR)
+            elif cap_out_d is not None and fold["used"] \
+                    and fold["cap"] < capR \
+                    and fold["n_known"] + 3 * cap_out_d > fold["cap"]:
+                # proactive: the (lagged) live count plus the in-flight
+                # window could overflow — grow now, without replays
+                fold_park_and_grow(
+                    min(capR, max(fold["cap"] * 2,
+                                  _next_pow2(fold["n_known"]
+                                             + 4 * cap_out_d))))
             out = _superbatch_count_fold(
                 codes, valid, lengths, jnp.int32(pass_i),
                 fold["p"], fold["c"], fold["n"],
@@ -695,46 +777,66 @@ class SortingCount(Algorithm):
                 spare=spare, packed=packed,
                 L=builder.L if packed else None,
                 blocked=bool(cfg.blocked_compaction),
-                cap_acc=fold["cap"])
-            keep_p, keep_c, keep_n, ovf, nv, ni = out
+                cap_acc=fold["cap"], cap_out=cap_out_d)
+            keep_p, keep_c, keep_n, flags, n_loc, nv, ni = out
             fold["p"], fold["c"], fold["n"] = keep_p, keep_c, keep_n
             fold["reset"] = False
-            pending.append((ovf, nv, ni, (codes, valid, lengths),
-                            pass_i, count_stats, g_len))
+            fold["used"] = True
+            pending.append((flags, n_loc, keep_n, nv, ni,
+                            (codes, valid, lengths), pass_i,
+                            count_stats, g_len, rows,
+                            cap_out_d is not None))
             # window 2 (not the LSM path's 3): each in-flight fold keeps
             # a full acc generation (~cap_acc rows) alive in HBM
             while len(pending) > 2:
                 fold_resolve(pending.pop(0))
 
         def fold_resolve(item):
-            ovf, nv, ni, staged, pass_i, count_stats, g_len = item
+            (flags, n_loc, keep_n, nv, ni, staged, pass_i, count_stats,
+             g_len, rows, compact) = item
             with ti.section("2.sort"):
-                ov, nvv, niv = jax.device_get((ovf, nv, ni))
+                fl, nl, kn, nvv, niv = jax.device_get(
+                    (flags, n_loc, keep_n, nv, ni))
             if count_stats:
                 valid_scalars.append(int(nvv))
                 inside_scalars.append(int(niv))
-            if bool(ov):
-                fold["replay"].append((staged, pass_i))
+            if fl.any():
+                if fl[0]:   # cap_out too small: raise the ratio estimate
+                    dedup_ratio["est"] = min(
+                        1.0, max(dedup_ratio["est"] * 2, int(nl) / rows))
+                fold["replay"].append((staged, pass_i, bool(fl[1])))
+            else:
+                fold["n_known"] = max(fold["n_known"], int(kn))
+                if compact:
+                    dedup_ratio["est"] = max(dedup_ratio["est"],
+                                             int(nl) / rows)
+                elif n_resolved[0] == 0:
+                    # first raw superbatch onto an empty acc: keep_n IS
+                    # its distinct count — calibrate the ratio
+                    dedup_ratio["est"] = max(dedup_ratio["est"],
+                                             int(kn) / rows)
             n_resolved[0] += 1
             progress.inc(g_len)
 
         def fold_grow_and_replay():
             """Overflow seen: drain the window (collecting any further
-            overflows), park the committed acc, double the capacity,
-            replay the uncommitted superbatches."""
+            overflows), park the committed acc, grow the blown
+            capacity, replay the uncommitted superbatches."""
             fold["growing"] = True
             try:
                 while pending:
                     fold_resolve(pending.pop(0))
                 while fold["replay"]:
                     replays, fold["replay"] = fold["replay"], []
-                    fold["parked"].append(
-                        (fold["p"], fold["c"], fold["n"]))
-                    newcap = fold["cap"] * 2
-                    if newcap > cap_budget:
-                        raise _RePlan(nb_passes)
-                    fold_arrays(newcap)
-                    for staged, pi in replays:
+                    if any(acc_ovf for _, _, acc_ovf in replays):
+                        newcap = fold["cap"] * 2
+                        if newcap > cap_budget:
+                            raise _RePlan(nb_passes)
+                        if fold["p"] is not None and fold["used"]:
+                            fold["parked"].append(
+                                (fold["p"], fold["c"], fold["n"]))
+                        fold_arrays(newcap)
+                    for staged, pi, _ in replays:
                         fold_dispatch(*staged, pi, False,
                                       staged[0].shape[0])
                     while pending:
@@ -778,6 +880,7 @@ class SortingCount(Algorithm):
             # start from fresh arrays, not reuse-with-reset
             fold["p"] = fold["c"] = fold["n"] = None
             fold["reset"] = True
+            fold["n_known"] = 0
 
         def resolve(item):
             """Sync point of one superbatch: overflow check (+ exact rerun
