@@ -158,3 +158,33 @@ def test_bank_stats_block():
     assert res.info["seq_size_max"] == 1036
     assert res.info["seq_size_mean"] == 946.1
     assert res.info["seq_size_deviation"] == 91.7
+
+
+def test_fold_modes_and_growth_exact():
+    """Hybrid fold (r5): compact-first vs raw mode, wrong ratio hints
+    (out-capacity overflow + replay), proactive accumulator growth and
+    tiny superbatches must all be exact vs the dict ground truth."""
+    import numpy as np
+
+    from gatb_core_tpu.bank.fasta import BankStrings
+    from gatb_core_tpu.kmer.counting import count_kmers
+    from gatb_core_tpu.kmer.model import count_kmers_py
+
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), size=2000))
+    hi_cov = [genome[i:i + 100] for i in range(0, 1900, 4)]   # ~25x
+    lo_cov = ["".join(rng.choice(list("ACGT"), size=100))
+              for _ in range(60)]
+    cases = [
+        ("hi-cov compact", hi_cov, dict(distinct_ratio_hint=0.05)),
+        ("hint far too low", hi_cov, dict(distinct_ratio_hint=0.001)),
+        ("lo-cov raw", lo_cov, {}),
+        ("tiny superbatch", hi_cov, dict(superbatch_rows=1 << 12)),
+        ("small acc budget", hi_cov, dict(distinct_ratio_hint=0.02,
+                                          superbatch_rows=1 << 13)),
+    ]
+    for name, reads, kw in cases:
+        res = count_kmers(BankStrings(*reads), kmer_size=31,
+                          abundance_min=1, **kw)
+        exp = count_kmers_py(reads, 31, abundance_min=1)
+        assert res.as_dict() == exp, name
