@@ -8,10 +8,12 @@ kmers), counts and histogram are compared key-by-key against
 
 Gated: needs the real TPU (the 2-core host CPU path would take hours),
 ~3 GB under /tmp and the rebuilt reference binary. Driven by
-tools_dev/stress_r3.py; last full run (2026-08-20, this machine):
+tools_dev/stress_r3.py (also parametrizable: --k 63 / --k 127, both
+verified key-by-key equal at scale); last full runs (2026-08-21, round
+5, this machine — STRESS_r05_*.json):
 
-    ref  dbgh5 (2 cores)           83 s
-    ours dbgh5 (1 TPU via tunnel) 1236 s cold-compile / see BASELINE.md
+    ref  dbgh5 (2 cores)            65.4 s
+    ours dbgh5 (1 TPU via tunnel)   48-65 s warm / 110-161 s cold
     compare: n=29,999,950 solid_equal=True histogram equal
 """
 
